@@ -1,0 +1,157 @@
+"""Configuration management for the TPU review-search engine.
+
+Environment-variable driven config with defaults, validation and logging
+setup. Mirrors the surface of the reference config system
+(/root/reference/config.py:18-131) and extends it with TPU-specific knobs
+(mesh shape, device dtypes, candidate-pool sizing, kernel selection).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+
+def _env_bool(name: str, default: str = "false") -> bool:
+    return os.getenv(name, default).lower() == "true"
+
+
+def _env_int(name: str, default: str) -> int:
+    return int(os.getenv(name, default))
+
+
+def _env_float(name: str, default: str) -> float:
+    return float(os.getenv(name, default))
+
+
+class Config:
+    """Application configuration.
+
+    Reads every knob from the environment at class definition time, exactly
+    like the reference (`config.py:18-77`); tests may subclass/monkeypatch.
+    """
+
+    # Environment
+    ENVIRONMENT = os.getenv("ENVIRONMENT", "development")
+
+    # Model configuration (HF ids; weights converted to JAX when available)
+    EMB_MODEL = os.getenv("EMB_MODEL", "BAAI/bge-small-en-v1.5")
+    RERANK_MODEL = os.getenv("RERANK_MODEL", "cross-encoder/ms-marco-MiniLM-L-6-v2")
+
+    # Application configuration
+    APP_HOST = os.getenv("APP_HOST", "0.0.0.0")
+    APP_PORT = _env_int("APP_PORT", "8501")
+    APP_TITLE = os.getenv("APP_TITLE", "Review Search Copilot (TPU)")
+
+    # Data paths. The index bundle replaces the reference's loose artifacts
+    # (product_emb.npy + product_emb_meta.parquet + product_bm25.pkl +
+    # reviews_with_embeddings.parquet) with one versioned directory.
+    DATA_DIR = Path(os.getenv("DATA_DIR", "data/processed"))
+    INDEX_DIR = Path(os.getenv("INDEX_DIR", "data/index"))
+    RAW_DIR = Path(os.getenv("RAW_DIR", "data/raw"))
+    # Loose-artifact names kept for import/export compatibility with the
+    # reference pipeline outputs (config.py:36-39).
+    PRODUCT_EMB_FILE = os.getenv("PRODUCT_EMB_FILE", "product_emb.npy")
+    PRODUCT_META_FILE = os.getenv("PRODUCT_META_FILE", "product_emb_meta.parquet")
+    REVIEWS_EMB_FILE = os.getenv("REVIEWS_EMB_FILE", "reviews_with_embeddings.parquet")
+    BM25_FILE = os.getenv("BM25_FILE", "product_bm25.pkl")
+
+    # Logging
+    LOG_LEVEL = os.getenv("LOG_LEVEL", "INFO").upper()
+    LOG_FORMAT = os.getenv(
+        "LOG_FORMAT", "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+    )
+    LOG_FILE = os.getenv("LOG_FILE", "logs/app.log")
+
+    # Performance settings (reference config.py:52-55)
+    MAX_REVIEWS_SCAN = _env_int("MAX_REVIEWS_SCAN", "300000")
+    DEFAULT_POOL_SIZE = _env_int("DEFAULT_POOL_SIZE", "150")
+    CACHE_TTL = _env_int("CACHE_TTL", "3600")
+
+    # Feature flags (reference config.py:58-61)
+    ENABLE_BM25 = _env_bool("ENABLE_BM25", "true")
+    ENABLE_RERANKING = _env_bool("ENABLE_RERANKING", "true")
+    ENABLE_SNIPPETS = _env_bool("ENABLE_SNIPPETS", "true")
+    ENABLE_METRICS_TAB = _env_bool("ENABLE_METRICS_TAB", "true")
+
+    # Search defaults (reference config.py:64-72)
+    DEFAULT_K = _env_int("DEFAULT_K", "10")
+    DEFAULT_RERANK_K = _env_int("DEFAULT_RERANK_K", "50")
+    DEFAULT_MIN_REVIEWS = _env_int("DEFAULT_MIN_REVIEWS", "8")
+    DEFAULT_W_DENSE = _env_float("DEFAULT_W_DENSE", "0.55")
+    DEFAULT_W_BM25 = _env_float("DEFAULT_W_BM25", "0.20")
+    DEFAULT_W_RERANK = _env_float("DEFAULT_W_RERANK", "0.20")
+    DEFAULT_W_PRIOR = _env_float("DEFAULT_W_PRIOR", "0.20")
+    DEFAULT_W_BEST = _env_float("DEFAULT_W_BEST", "0.10")
+    DEFAULT_GATE_PENALTY = _env_float("DEFAULT_GATE_PENALTY", "0.5")
+    DEFAULT_PRIOR_C = _env_float("DEFAULT_PRIOR_C", "20.0")
+
+    # ---- TPU-specific knobs (new in the rebuild) ----
+    # Device dtype for the corpus embedding matrix. bf16 halves HBM traffic
+    # on the N x 384 matmul which is the dominant per-query cost.
+    EMB_DTYPE = os.getenv("EMB_DTYPE", "bfloat16")
+    # Max padded unique terms kept per document in the device postings arrays.
+    DOC_TERMS_CAP = _env_int("DOC_TERMS_CAP", "512")
+    # Max query terms (padded) for BM25 / gate device kernels.
+    QUERY_TERMS_CAP = _env_int("QUERY_TERMS_CAP", "32")
+    # Gate evaluation: "device" (term-membership approximation, no host sync)
+    # or "host" (exact substring semantics of the reference, gate computed on
+    # the candidate pool host-side). Eval parity runs use "host".
+    GATE_MODE = os.getenv("GATE_MODE", "device")
+    # Mesh: number of chips the corpus axis is sharded over ("1" = single chip).
+    MESH_SHARDS = _env_int("MESH_SHARDS", "1")
+    # Name of the corpus-sharding mesh axis.
+    MESH_AXIS = os.getenv("MESH_AXIS", "shards")
+    # Use Pallas kernels where available ("true") vs plain XLA ops.
+    USE_PALLAS = _env_bool("USE_PALLAS", "true")
+    # Max (padded) reviews scanned per product for the snippet segment-max.
+    SNIPPET_REVIEWS_CAP = _env_int("SNIPPET_REVIEWS_CAP", "256")
+
+    # Security settings (reference config.py:74-77)
+    SECRET_KEY = os.getenv("SECRET_KEY")
+    ALLOWED_HOSTS = (
+        os.getenv("ALLOWED_HOSTS", "").split(",") if os.getenv("ALLOWED_HOSTS") else []
+    )
+    HTTPS_ONLY = _env_bool("HTTPS_ONLY", "false")
+
+    @classmethod
+    def validate(cls) -> None:
+        """Validate configuration and create necessary directories."""
+        log_dir = Path(cls.LOG_FILE).parent
+        log_dir.mkdir(parents=True, exist_ok=True)
+        if cls.DOC_TERMS_CAP <= 0:
+            raise ValueError("DOC_TERMS_CAP must be positive")
+        if cls.QUERY_TERMS_CAP <= 0:
+            raise ValueError("QUERY_TERMS_CAP must be positive")
+        if cls.GATE_MODE not in ("device", "host"):
+            raise ValueError(f"GATE_MODE must be 'device' or 'host', got {cls.GATE_MODE!r}")
+        if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16"):
+            raise ValueError(f"Unsupported EMB_DTYPE: {cls.EMB_DTYPE!r}")
+        if cls.is_production():
+            if not cls.INDEX_DIR.exists():
+                raise FileNotFoundError(
+                    f"INDEX_DIR does not exist in production: {cls.INDEX_DIR}"
+                )
+
+    @classmethod
+    def setup_logging(cls) -> None:
+        """Configure application logging (file + stream handlers)."""
+        log_dir = Path(cls.LOG_FILE).parent
+        log_dir.mkdir(parents=True, exist_ok=True)
+        logging.basicConfig(
+            level=getattr(logging, cls.LOG_LEVEL, logging.INFO),
+            format=cls.LOG_FORMAT,
+            handlers=[logging.FileHandler(cls.LOG_FILE), logging.StreamHandler()],
+        )
+
+    @classmethod
+    def is_production(cls) -> bool:
+        return cls.ENVIRONMENT.lower() == "production"
+
+    @classmethod
+    def is_development(cls) -> bool:
+        return cls.ENVIRONMENT.lower() == "development"
+
+
+# Global config instance (parity with reference config.py:131)
+config = Config()
