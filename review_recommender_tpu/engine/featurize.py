@@ -1,0 +1,112 @@
+"""Host-side query featurization: strings -> device-ready integer features.
+
+Converts a query string into the fixed-shape arrays the jitted query program
+consumes:
+
+  - BM25 side: padded query term ids + per-term idf. Duplicated query tokens
+    are kept (rank_bm25 sums a contribution per query-token occurrence).
+  - Gate side: per-group phrase bitmasks over the static GATE_PHRASES
+    vocabulary, plus padded index-vocabulary term-id expansions for dynamic
+    tokens (vectorized substring scan over the vocab via np.char.find).
+
+All lookups are O(query) plus one vectorized vocab scan per dynamic gate
+token; nothing here touches the device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Set
+
+import numpy as np
+
+from review_recommender_tpu.index.schema import ProductIndex
+from review_recommender_tpu.utils.text import (
+    GATE_PHRASE_ID,
+    GATE_PHRASES,
+    build_gate_groups,
+    tokenize_query,
+)
+
+GROUPS_CAP = 6  # reference caps gate groups at 6 (utils.py:86)
+
+
+@dataclasses.dataclass
+class QueryFeatures:
+    q_terms: np.ndarray  # (Q,) int32, 0 pad
+    q_idf: np.ndarray  # (Q,) f32
+    group_phrase_mask: np.ndarray  # (6, G_phrases) bool
+    group_term_ids: np.ndarray  # (6, T_cap) int32, -1 pad
+    group_valid: np.ndarray  # (6,) bool
+    tokens: List[str]
+    groups: List[Set[str]]  # host groups for exact-gate mode / debug
+
+
+class QueryFeaturizer:
+    def __init__(
+        self,
+        index: ProductIndex,
+        query_terms_cap: int = 32,
+        gate_terms_cap: int = 64,
+    ):
+        self.index = index
+        self.query_terms_cap = query_terms_cap
+        self.gate_terms_cap = gate_terms_cap
+        # Vectorized substring scan structures over the index vocabulary.
+        terms = sorted(index.vocab.items(), key=lambda kv: kv[1])
+        self._vocab_terms = np.array([t for t, _ in terms], dtype=np.str_)
+        self._vocab_ids = np.array([i for _, i in terms], dtype=np.int32)
+        self._vocab_df = index.df[self._vocab_ids] if len(terms) else np.zeros(0, np.int32)
+
+    def _expand_token(self, token: str) -> np.ndarray:
+        """Index-vocab term ids containing `token` as a substring, most
+        frequent (by document frequency) first, capped at gate_terms_cap."""
+        if len(self._vocab_terms) == 0:
+            return np.zeros(0, np.int32)
+        hits = np.char.find(self._vocab_terms, token) >= 0
+        ids = self._vocab_ids[hits]
+        if len(ids) > self.gate_terms_cap:
+            dfs = self._vocab_df[hits]
+            order = np.argsort(-dfs, kind="stable")[: self.gate_terms_cap]
+            ids = ids[order]
+        return ids.astype(np.int32)
+
+    def featurize(self, query: str) -> QueryFeatures:
+        tokens = tokenize_query(query)
+
+        # --- BM25 term ids (duplicates preserved) ---
+        Q = self.query_terms_cap
+        q_terms = np.zeros(Q, dtype=np.int32)
+        q_idf = np.zeros(Q, dtype=np.float32)
+        for i, tok in enumerate(tokens[:Q]):
+            tid = self.index.vocab.get(tok, 0)
+            q_terms[i] = tid
+            q_idf[i] = self.index.idf[tid] if tid else 0.0
+
+        # --- gate groups ---
+        groups = build_gate_groups(query)
+        G = len(GATE_PHRASES)
+        phrase_mask = np.zeros((GROUPS_CAP, G), dtype=bool)
+        term_ids = np.full((GROUPS_CAP, self.gate_terms_cap), -1, dtype=np.int32)
+        valid = np.zeros(GROUPS_CAP, dtype=bool)
+        for gi, group in enumerate(groups[:GROUPS_CAP]):
+            valid[gi] = True
+            dyn: List[np.ndarray] = []
+            for member in group:
+                pid = GATE_PHRASE_ID.get(member)
+                if pid is not None:
+                    phrase_mask[gi, pid] = True
+                else:
+                    dyn.append(self._expand_token(member))
+            if dyn:
+                ids = np.concatenate(dyn)[: self.gate_terms_cap]
+                term_ids[gi, : len(ids)] = ids
+
+        return QueryFeatures(
+            q_terms=q_terms,
+            q_idf=q_idf,
+            group_phrase_mask=phrase_mask,
+            group_term_ids=term_ids,
+            group_valid=valid,
+            tokens=tokens,
+            groups=groups,
+        )

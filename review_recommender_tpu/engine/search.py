@@ -1,0 +1,370 @@
+"""SearchEngine: the end-to-end hybrid query path.
+
+One engine object owns the device-resident corpus arrays and exposes
+`run_search` with the exact parameter surface of the reference engine
+(app/app_product_search.py:245-248), consumed by the CLI, the HTTP server
+and the eval harness alike (the reference shipped two divergent engine
+copies — SURVEY.md §3.2; this build has one).
+
+Execution plan per query:
+
+  host   encode query (injectable encoder; JAX bi-encoder by default)
+  host   featurize: query term ids + idf, gate masks      (engine/featurize)
+  jit A  dense top-pool -> gather candidate features -> BM25 -> device gate
+  host   (optional) cross-encoder scores for the first rr_k candidates
+  host   (optional, GATE_MODE=host) exact substring gate over the pool
+  jit B  fused scoring (minmax/prior/trust/gate/blend) -> top-k
+  jit S  (optional) snippet segment-max over review embeddings
+
+Stages A and B are separate compiled programs only because the cross-encoder
+and exact-gate hooks need candidate identity on host between them; the
+rerank-free path can use `query_fused` (single compiled program, used by the
+benchmark and the sharded engine).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from review_recommender_tpu.config import config
+from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.index.schema import IndexBundle
+from review_recommender_tpu.ops.bm25 import bm25_candidate_scores
+from review_recommender_tpu.ops.dense import dense_topk
+from review_recommender_tpu.ops.fusion import (
+    FusionWeights,
+    final_topk,
+    fuse_candidates,
+)
+from review_recommender_tpu.ops.gate import gate_factors_device
+from review_recommender_tpu.ops.segment import best_review_scores
+from review_recommender_tpu.utils.text import calculate_gate_factor
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+SNIPPET_NONE = -1e30  # sentinel: product has no scored review
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        bundle: IndexBundle,
+        *,
+        emb_dtype: Optional[str] = None,
+        query_encoder: Optional[Callable[[str], np.ndarray]] = None,
+        cross_encoder: Optional[Callable[[str, List[str]], np.ndarray]] = None,
+        gate_mode: Optional[str] = None,
+    ):
+        self.bundle = bundle
+        self.products = bundle.products
+        self.reviews = bundle.reviews
+        self.dtype = _DTYPES[emb_dtype or config.EMB_DTYPE]
+        self.gate_mode = gate_mode or config.GATE_MODE
+        self.query_encoder = query_encoder
+        self.cross_encoder = cross_encoder
+
+        self.arrays = self.products.device_arrays(self.dtype)
+        self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
+        self.n_docs = self.products.n_docs
+
+        self.rev_arrays = None
+        self._rev_order = None
+        self._rev_offsets = None
+        if self.reviews is not None:
+            self.rev_arrays = self.reviews.device_arrays(self.dtype)
+            # host CSR over reviews for snippet-text recovery
+            m = self.reviews.n_reviews_total
+            seg = np.asarray(self.reviews.rev_product[:m])
+            order = np.argsort(seg, kind="stable")
+            counts = np.bincount(seg, minlength=self.n_docs + 1)
+            self._rev_order = order
+            self._rev_offsets = np.concatenate([[0], np.cumsum(counts)])
+
+        self.featurizer = QueryFeaturizer(
+            self.products, query_terms_cap=config.QUERY_TERMS_CAP
+        )
+
+        self._stage_a = jax.jit(self._stage_a_impl, static_argnames=("pool",))
+        self._stage_b = jax.jit(self._stage_b_impl, static_argnames=("k",))
+        self._snippet_scores = jax.jit(self._snippet_scores_impl)
+        self._fused = jax.jit(self._fused_impl, static_argnames=("pool", "k"))
+
+    # ------------------------------------------------------------------ jit A
+    def _stage_a_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid, *, pool):
+        a = self.arrays
+        dense_raw, idx = dense_topk(a["emb"], qvec, a["valid"], pool)
+        cand_valid = jnp.isfinite(dense_raw)
+        take = lambda arr: jnp.take(arr, idx, axis=0)
+        doc_terms = take(a["doc_terms"])
+        bm25_raw = bm25_candidate_scores(
+            doc_terms, take(a["doc_tf"]), take(a["doc_len"]),
+            q_terms, q_idf, self.avgdl,
+        )
+        gate_dev, gate_hits = gate_factors_device(
+            take(a["gate_bits"]), doc_terms, gp_mask, gt_ids, g_valid,
+            jnp.float32(1.0),  # penalty applied in stage B: return miss counts
+        )
+        return {
+            "idx": idx,
+            "dense_raw": dense_raw,
+            "cand_valid": cand_valid,
+            "bm25_raw": bm25_raw,
+            "gate_hits": gate_hits,
+            "n_groups": jnp.sum(g_valid.astype(jnp.int32)),
+            "n_reviews": take(a["n_reviews"]),
+            "avg_stars": take(a["avg_stars"]),
+        }
+
+    # ------------------------------------------------------------------ jit B
+    def _stage_b_impl(
+        self, st, rerank_raw, rerank_mask, best_raw, has_snippets, gate, w, *, k
+    ):
+        res = fuse_candidates(
+            st["dense_raw"], st["bm25_raw"], rerank_raw, rerank_mask,
+            best_raw, has_snippets, st["n_reviews"], st["avg_stars"],
+            gate, st["cand_valid"], w,
+        )
+        scores, pos = final_topk(res, k)
+        return res, scores, pos
+
+    # ------------------------------------------------------------- jit snippets
+    def _snippet_scores_impl(self, qvec):
+        r = self.rev_arrays
+        return best_review_scores(
+            r["rev_emb"], r["rev_product"], r["rev_valid"], qvec, self.n_docs
+        )
+
+    # --------------------------------------------------------------- fused path
+    def _fused_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid,
+                    w, use_snips, *, pool, k):
+        """Single-program query (no cross-encoder, device gate)."""
+        st = self._stage_a_impl(qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid,
+                                pool=pool)
+        P = pool
+        if self.rev_arrays is not None:
+            best_full = self._snippet_scores_impl(qvec)
+            best_pad = jnp.zeros(self.products.n_padded, jnp.float32)
+            best_pad = best_pad.at[: self.n_docs].set(
+                jnp.where(best_full > SNIPPET_NONE, best_full, 0.0)
+            )
+            best_raw = jnp.where(use_snips, jnp.take(best_pad, st["idx"]), 0.0)
+            has_snips = use_snips & jnp.any(best_raw > 0)
+        else:
+            best_raw = jnp.zeros(P, jnp.float32)
+            has_snips = jnp.bool_(False)
+        gate = jnp.power(
+            w.gate_penalty,
+            (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
+        )
+        res = fuse_candidates(
+            st["dense_raw"], st["bm25_raw"],
+            jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.bool_),
+            best_raw, has_snips, st["n_reviews"], st["avg_stars"],
+            gate, st["cand_valid"], w,
+        )
+        scores, pos = final_topk(res, k)
+        return jnp.take(st["idx"], pos), scores, res, pos
+
+    # ------------------------------------------------------------------ public
+    def encode_query(self, query: str) -> np.ndarray:
+        if self.query_encoder is None:
+            raise RuntimeError(
+                "No query encoder configured. Pass query_encoder= to "
+                "SearchEngine (e.g. models.biencoder JAX encoder) or supply "
+                "precomputed query vectors via run_search(qvec=...)."
+            )
+        v = np.asarray(self.query_encoder(query), dtype=np.float32).reshape(-1)
+        n = np.linalg.norm(v)
+        return v / max(n, 1e-12)
+
+    def run_search(
+        self,
+        query: str,
+        k: int = None,
+        rerank_k: int = None,
+        w_dense: float = None,
+        w_bm25: float = None,
+        w_rerank: float = None,
+        w_prior: float = None,
+        w_best: float = None,
+        prior_C: float = None,
+        use_snips: bool = False,
+        max_scan: int = 0,  # accepted for parity; device path scans all reviews
+        min_reviews: int = None,
+        gate_penalty: float = None,
+        qvec: Optional[np.ndarray] = None,
+    ):
+        """Hybrid search. Returns (DataFrame, snippets, debug) like the
+        reference run_search (app/app_product_search.py:245-317)."""
+        c = config
+        k = c.DEFAULT_K if k is None else int(k)
+        rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)
+        w = FusionWeights.make(
+            c.DEFAULT_W_DENSE if w_dense is None else w_dense,
+            c.DEFAULT_W_BM25 if w_bm25 is None else w_bm25,
+            c.DEFAULT_W_RERANK if w_rerank is None else w_rerank,
+            c.DEFAULT_W_PRIOR if w_prior is None else w_prior,
+            c.DEFAULT_W_BEST if w_best is None else w_best,
+            c.DEFAULT_PRIOR_C if prior_C is None else prior_C,
+            c.DEFAULT_MIN_REVIEWS if min_reviews is None else min_reviews,
+            c.DEFAULT_GATE_PENALTY if gate_penalty is None else gate_penalty,
+        )
+
+        if qvec is None:
+            qvec = self.encode_query(query)
+        qvec = jnp.asarray(qvec, dtype=jnp.float32)
+
+        qf = self.featurizer.featurize(query)
+        pool = max(k, rerank_k, c.DEFAULT_POOL_SIZE)
+        pool = min(pool, self.products.n_padded)
+
+        st = self._stage_a(
+            qvec,
+            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
+            jnp.asarray(qf.group_valid),
+            pool=pool,
+        )
+        idx = np.asarray(st["idx"])
+        cand_valid_h = np.asarray(st["cand_valid"])
+        n_cand = int(cand_valid_h.sum())
+        cand_rows = idx[:n_cand]
+        cand_skus = [self.products.skus[i] for i in cand_rows]
+        cand_texts = [self.products.agg_texts[i] for i in cand_rows]
+
+        P = idx.shape[0]
+
+        # ---- cross-encoder rerank (host model call) ----
+        rerank_raw = np.zeros(P, np.float32)
+        rerank_mask = np.zeros(P, bool)
+        if rerank_k > 0 and self.cross_encoder is not None:
+            rr_k = min(rerank_k, n_cand)
+            if rr_k > 0:
+                texts = [t[:2000] for t in cand_texts[:rr_k]]
+                scores = np.asarray(
+                    self.cross_encoder(query, texts), dtype=np.float32
+                )
+                rerank_raw[:rr_k] = scores
+                rerank_mask[:rr_k] = True
+        elif rerank_k > 0:
+            # reference behavior when the cross-encoder failed to load:
+            # zero scores still occupy the rerank lanes (app:275,279)
+            rr_k = min(rerank_k, n_cand)
+            rerank_mask[:rr_k] = True
+
+        # ---- gate ----
+        if self.gate_mode == "host":
+            gate_h = np.ones(P, np.float32)
+            for i, text in enumerate(cand_texts):
+                gf, _, _ = calculate_gate_factor(
+                    text[:6000], qf.groups, float(np.asarray(w.gate_penalty))
+                )
+                gate_h[i] = gf
+            gate = jnp.asarray(gate_h)
+        else:
+            gate = jnp.power(
+                w.gate_penalty,
+                (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
+            )
+
+        # ---- snippets ----
+        best_raw = np.zeros(P, np.float32)
+        snips: Dict[str, dict] = {}
+        has_snips = False
+        if use_snips and self.reviews is not None:
+            best_full = np.asarray(self._snippet_scores(qvec))
+            for i, row in enumerate(cand_rows):
+                v = best_full[row]
+                if v > SNIPPET_NONE:
+                    best_raw[i] = v
+            has_snips = bool((best_raw != 0).any())
+            if has_snips:
+                snips = self._snippet_texts(qvec, cand_rows, best_full)
+
+        res, scores, pos = self._stage_b(
+            st,
+            jnp.asarray(rerank_raw), jnp.asarray(rerank_mask),
+            jnp.asarray(best_raw), jnp.bool_(has_snips), gate, w,
+            k=min(k, P),
+        )
+        pos = np.asarray(pos)
+        scores = np.asarray(scores)
+        keep = [p for p, s in zip(pos, scores) if math.isfinite(s)]
+
+        rows = []
+        for rank, p in enumerate(keep):
+            row_idx = int(idx[p])
+            rows.append(
+                {
+                    "sku": self.products.skus[row_idx],
+                    "n_reviews": float(self.products.n_reviews[row_idx]),
+                    "avg_stars": float(self.products.avg_stars[row_idx]),
+                    "agg_text": self.products.agg_texts[row_idx],
+                    "_dense": float(np.asarray(res.dense)[p]),
+                    "_bm25": float(np.asarray(res.bm25)[p]),
+                    "_rerank": float(np.asarray(res.rerank)[p]),
+                    "_prior": float(np.asarray(res.prior)[p]),
+                    "_best": float(np.asarray(res.best)[p]),
+                    "_trust": float(np.asarray(res.trust)[p]),
+                    "_gate": float(np.asarray(res.gate)[p]),
+                    "_final": float(scores[rank]),
+                }
+            )
+        df = pd.DataFrame(rows)
+
+        debug = {
+            "bm25_active": bool(np.any(qf.q_idf > 0)),
+            "tokens": qf.tokens,
+            "groups": [sorted(g) for g in qf.groups],
+            "pool": pool,
+            "gate_mode": self.gate_mode,
+            "n_candidates": n_cand,
+        }
+        return df, snips, debug
+
+    # ---------------------------------------------------------------- snippets
+    def _snippet_texts(self, qvec, cand_rows, best_full) -> Dict[str, dict]:
+        """Recover the best snippet text/stars for candidate products
+        (host argmax over each product's reviews, CSR-indexed)."""
+        out: Dict[str, dict] = {}
+        m = self.reviews.n_reviews_total
+        E = self.reviews.rev_emb[:m]
+        q = np.asarray(qvec, dtype=np.float32)
+        for row in cand_rows:
+            row = int(row)
+            lo, hi = self._rev_offsets[row], self._rev_offsets[row + 1]
+            if hi <= lo:
+                continue
+            ridx = self._rev_order[lo:hi]
+            sims = E[ridx] @ q
+            j = int(np.argmax(sims))
+            out[self.products.skus[row]] = {
+                "score": float(sims[j]),
+                "text": self.reviews.rev_texts[int(ridx[j])][:600],
+                "stars": float(self.reviews.rev_stars[int(ridx[j])]),
+            }
+        return out
+
+    # ------------------------------------------------------------- fused query
+    def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
+                    use_snips: bool = False):
+        """Single-compiled-program query (no rerank): returns
+        (corpus row ids (k,), final scores (k,))."""
+        qf = self.featurizer.featurize(query)
+        rows, scores, _res, _pos = self._fused(
+            jnp.asarray(qvec, jnp.float32),
+            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
+            jnp.asarray(qf.group_valid),
+            w, jnp.bool_(use_snips),
+            pool=min(pool, self.products.n_padded), k=k,
+        )
+        return rows, scores

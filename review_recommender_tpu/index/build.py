@@ -1,0 +1,250 @@
+"""Offline index build: products -> device-ready ProductIndex.
+
+Reproduces the semantics of the reference's offline pipeline outputs:
+  - BM25 statistics identical to loading product_bm25.pkl into
+    rank_bm25.BM25Okapi (idf computed at build with the epsilon floor —
+    reference loads it per process at app/app_product_search.py:142)
+  - tokenization = "simple_en_v1" (nlp/12_product_prep.py:75-78)
+  - gate phrase bitsets precomputed with the exact substring semantics the
+    online gate applies to agg_text[:6000] (app/app_product_search.py:228-236)
+
+plus TPU-specific packing: padded per-doc (term id, tf) arrays sorted by
+descending tf so a DOC_TERMS_CAP truncation drops the lowest-signal terms.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from review_recommender_tpu.index.schema import (
+    PAD_TERM_ID,
+    IndexBundle,
+    ProductIndex,
+    ReviewIndex,
+    pad_rows,
+)
+from review_recommender_tpu.utils.text import (
+    GATE_PHRASES,
+    tokenize_document,
+)
+
+logger = logging.getLogger(__name__)
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_EPSILON = 0.25
+GATE_TEXT_PREFIX = 6000  # chars of agg_text the online gate inspects
+
+
+def _l2_normalize_np(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, eps)
+
+
+def compute_idf(df: np.ndarray, n_docs: int, epsilon: float = BM25_EPSILON) -> np.ndarray:
+    """rank_bm25 BM25Okapi idf: ln((N-df+0.5)/(df+0.5)), negatives floored at
+    epsilon * mean(raw idf). Index 0 (PAD) stays 0."""
+    idf = np.zeros_like(df, dtype=np.float64)
+    real = df > 0
+    idf[real] = np.log(n_docs - df[real] + 0.5) - np.log(df[real] + 0.5)
+    if real.any():
+        avg = idf[real].mean()
+        idf[real & (idf < 0)] = epsilon * avg
+    return idf.astype(np.float32)
+
+
+def build_product_index(
+    skus: Sequence[str],
+    agg_texts: Sequence[str],
+    n_reviews: Sequence[float],
+    avg_stars: Sequence[float],
+    embeddings: np.ndarray,
+    *,
+    doc_terms_cap: int = 512,
+    pad_multiple: int = 256,
+) -> ProductIndex:
+    """Build the device-ready product index from host columns.
+
+    embeddings: (N, D) float array (will be L2-normalized, like the online
+    loader does at app/app_product_search.py:110).
+    """
+    n = len(skus)
+    assert embeddings.shape[0] == n, (embeddings.shape, n)
+    assert len(agg_texts) == n and len(n_reviews) == n and len(avg_stars) == n
+
+    # ---- tokenize all documents (simple_en_v1) ----
+    token_lists = [tokenize_document(t) for t in agg_texts]
+
+    # ---- vocabulary & document frequencies ----
+    vocab: Dict[str, int] = {}
+    df_counts: List[int] = [0]  # index 0 = PAD
+    doc_term_ids: List[np.ndarray] = []
+    doc_term_tfs: List[np.ndarray] = []
+    doc_lens = np.zeros(n, dtype=np.float32)
+    truncated_docs = 0
+
+    for i, toks in enumerate(token_lists):
+        doc_lens[i] = len(toks)
+        freqs: Dict[str, int] = {}
+        for t in toks:
+            freqs[t] = freqs.get(t, 0) + 1
+        ids = np.empty(len(freqs), dtype=np.int32)
+        tfs = np.empty(len(freqs), dtype=np.float32)
+        for j, (term, cnt) in enumerate(freqs.items()):
+            tid = vocab.get(term)
+            if tid is None:
+                tid = len(vocab) + 1
+                vocab[term] = tid
+                df_counts.append(0)
+            df_counts[tid] += 1
+            ids[j] = tid
+            tfs[j] = cnt
+        # sort by tf desc so a cap keeps the highest-signal terms
+        order = np.argsort(-tfs, kind="stable")
+        if len(order) > doc_terms_cap:
+            truncated_docs += 1
+            order = order[:doc_terms_cap]
+        doc_term_ids.append(ids[order])
+        doc_term_tfs.append(tfs[order])
+
+    if truncated_docs:
+        logger.warning(
+            "doc_terms_cap=%d truncated %d/%d docs (BM25 scores for dropped "
+            "terms become 0; raise DOC_TERMS_CAP for exact parity)",
+            doc_terms_cap, truncated_docs, n,
+        )
+
+    df = np.asarray(df_counts, dtype=np.int32)
+    idf = compute_idf(df, n)
+    avgdl = float(doc_lens.mean()) if n else 0.0
+
+    # ---- pack padded device arrays ----
+    n_pad = pad_rows(n, pad_multiple)
+    L = doc_terms_cap
+    terms = np.full((n_pad, L), PAD_TERM_ID, dtype=np.int32)
+    tf = np.zeros((n_pad, L), dtype=np.float32)
+    for i in range(n):
+        m = len(doc_term_ids[i])
+        terms[i, :m] = doc_term_ids[i]
+        tf[i, :m] = doc_term_tfs[i]
+
+    emb = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
+    emb[:n] = _l2_normalize_np(np.asarray(embeddings, dtype=np.float32))
+
+    nrev = np.zeros(n_pad, dtype=np.float32)
+    nrev[:n] = np.nan_to_num(np.asarray(n_reviews, dtype=np.float32), nan=0.0)
+    stars = np.zeros(n_pad, dtype=np.float32)
+    stars[:n] = np.asarray(avg_stars, dtype=np.float32)
+
+    dl = np.zeros(n_pad, dtype=np.float32)
+    dl[:n] = doc_lens
+
+    # ---- gate phrase bitset (exact substring vs the 6000-char prefix) ----
+    gate_bits = np.zeros((n_pad, len(GATE_PHRASES)), dtype=bool)
+    for i, text in enumerate(agg_texts):
+        tl = str(text)[:GATE_TEXT_PREFIX].lower()
+        for g, phrase in enumerate(GATE_PHRASES):
+            if phrase in tl:
+                gate_bits[i, g] = True
+
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+
+    idx = ProductIndex(
+        emb=emb,
+        n_reviews=nrev,
+        avg_stars=stars,
+        doc_terms=terms,
+        doc_tf=tf,
+        doc_len=dl,
+        gate_bits=gate_bits,
+        valid=valid,
+        skus=[str(s) for s in skus],
+        agg_texts=[str(t) for t in agg_texts],
+        vocab=vocab,
+        idf=idf,
+        df=df,
+        avgdl=avgdl,
+        n_docs=n,
+    )
+    idx.validate()
+    return idx
+
+
+def build_review_index(
+    rev_skus: Sequence[str],
+    rev_texts: Sequence[str],
+    rev_stars: Sequence[float],
+    rev_embeddings: np.ndarray,
+    product_skus: Sequence[str],
+    *,
+    pad_multiple: int = 256,
+) -> ReviewIndex:
+    """Pack per-review embeddings with product-row segment ids.
+
+    Reviews whose sku is not in the product index map to segment id N
+    (= number of products), a discard bucket, mirroring how the reference's
+    snippet path simply never surfaces them (app/app_product_search.py:332).
+    """
+    m = len(rev_texts)
+    assert rev_embeddings.shape[0] == m
+    sku_to_row = {str(s): i for i, s in enumerate(product_skus)}
+    n_products = len(product_skus)
+
+    m_pad = pad_rows(m, pad_multiple)
+    emb = np.zeros((m_pad, rev_embeddings.shape[1]), dtype=np.float32)
+    emb[:m] = _l2_normalize_np(np.asarray(rev_embeddings, dtype=np.float32))
+    seg = np.full(m_pad, n_products, dtype=np.int32)
+    for i, s in enumerate(rev_skus):
+        seg[i] = sku_to_row.get(str(s), n_products)
+    valid = np.zeros(m_pad, dtype=bool)
+    valid[:m] = True
+
+    return ReviewIndex(
+        rev_emb=emb,
+        rev_product=seg,
+        rev_valid=valid,
+        rev_texts=[str(t) for t in rev_texts],
+        rev_stars=np.asarray(
+            [float(s) if s is not None and not (isinstance(s, float) and math.isnan(s))
+             else np.nan for s in rev_stars],
+            dtype=np.float32,
+        ),
+        n_reviews_total=m,
+    )
+
+
+def build_bundle_from_products(
+    products: Iterable[dict],
+    embeddings: np.ndarray,
+    reviews: Optional[Iterable[dict]] = None,
+    review_embeddings: Optional[np.ndarray] = None,
+    **kwargs,
+) -> IndexBundle:
+    """Convenience: build a bundle from row dicts with keys
+    sku / agg_text / n_reviews / avg_stars (and for reviews: sku / text /
+    stars)."""
+    rows = list(products)
+    pidx = build_product_index(
+        [r["sku"] for r in rows],
+        [r.get("agg_text", "") for r in rows],
+        [r.get("n_reviews", 0.0) for r in rows],
+        [r.get("avg_stars", float("nan")) for r in rows],
+        embeddings,
+        **kwargs,
+    )
+    ridx = None
+    if reviews is not None:
+        rrows = list(reviews)
+        assert review_embeddings is not None
+        ridx = build_review_index(
+            [r["sku"] for r in rrows],
+            [r.get("text", "") for r in rrows],
+            [r.get("stars", float("nan")) for r in rrows],
+            review_embeddings,
+            pidx.skus,
+        )
+    return IndexBundle(products=pidx, reviews=ridx)

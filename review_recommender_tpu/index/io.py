@@ -1,0 +1,166 @@
+"""Versioned index-bundle IO.
+
+Layout of an index directory (replaces the reference's pickle blobs —
+pickles are unversioned and unsafe; we use npz + parquet + a JSON manifest):
+
+  manifest.json        version, counts, dims, build params, checksums
+  product_arrays.npz   all ProductIndex device arrays + idf/df
+  product_meta.parquet sku, agg_text, n_reviews, avg_stars (host columns)
+  vocab.txt            one term per line, line i = term id i+1
+  review_arrays.npz    (optional) ReviewIndex device arrays
+  review_meta.parquet  (optional) text, stars
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from review_recommender_tpu.index.schema import (
+    SCHEMA_VERSION,
+    IndexBundle,
+    ProductIndex,
+    ReviewIndex,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _sha256(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    p = bundle.products
+
+    np.savez_compressed(
+        out / "product_arrays.npz",
+        emb=p.emb,
+        n_reviews=p.n_reviews,
+        avg_stars=p.avg_stars,
+        doc_terms=p.doc_terms,
+        doc_tf=p.doc_tf,
+        doc_len=p.doc_len,
+        gate_bits=p.gate_bits,
+        valid=p.valid,
+        idf=p.idf,
+        df=p.df,
+    )
+    pd.DataFrame(
+        {
+            "sku": p.skus,
+            "agg_text": p.agg_texts,
+            "n_reviews": p.n_reviews[: p.n_docs],
+            "avg_stars": p.avg_stars[: p.n_docs],
+        }
+    ).to_parquet(out / "product_meta.parquet", index=False)
+    terms = sorted(p.vocab.items(), key=lambda kv: kv[1])
+    with open(out / "vocab.txt", "w") as f:
+        for term, tid in terms:
+            f.write(term + "\n")
+
+    files = ["product_arrays.npz", "product_meta.parquet", "vocab.txt"]
+
+    if bundle.reviews is not None:
+        r = bundle.reviews
+        np.savez_compressed(
+            out / "review_arrays.npz",
+            rev_emb=r.rev_emb,
+            rev_product=r.rev_product,
+            rev_valid=r.rev_valid,
+        )
+        pd.DataFrame({"text": r.rev_texts, "stars": r.rev_stars}).to_parquet(
+            out / "review_meta.parquet", index=False
+        )
+        files += ["review_arrays.npz", "review_meta.parquet"]
+
+    manifest = {
+        "schema_version": bundle.version,
+        "n_docs": p.n_docs,
+        "n_padded": p.n_padded,
+        "dim": p.dim,
+        "terms_cap": p.terms_cap,
+        "vocab_size": len(p.vocab),
+        "avgdl": p.avgdl,
+        "has_reviews": bundle.reviews is not None,
+        "n_reviews_total": (
+            bundle.reviews.n_reviews_total if bundle.reviews else 0
+        ),
+        "meta": bundle.meta,
+        "checksums": {f: _sha256(out / f) for f in files},
+    }
+    with open(out / "manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    logger.info("wrote index bundle to %s (%d docs)", out, p.n_docs)
+    return out
+
+
+def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBundle:
+    src = Path(in_dir)
+    with open(src / "manifest.json") as f:
+        manifest = json.load(f)
+    if manifest["schema_version"] > SCHEMA_VERSION:
+        raise ValueError(
+            f"index bundle schema v{manifest['schema_version']} is newer than "
+            f"supported v{SCHEMA_VERSION}"
+        )
+    if verify_checksums:
+        for fname, want in manifest.get("checksums", {}).items():
+            got = _sha256(src / fname)
+            if got != want:
+                raise ValueError(f"checksum mismatch for {fname}")
+
+    arrs = np.load(src / "product_arrays.npz")
+    meta = pd.read_parquet(src / "product_meta.parquet")
+    with open(src / "vocab.txt") as f:
+        vocab = {line.rstrip("\n"): i + 1 for i, line in enumerate(f) if line}
+
+    p = ProductIndex(
+        emb=arrs["emb"],
+        n_reviews=arrs["n_reviews"],
+        avg_stars=arrs["avg_stars"],
+        doc_terms=arrs["doc_terms"],
+        doc_tf=arrs["doc_tf"],
+        doc_len=arrs["doc_len"],
+        gate_bits=arrs["gate_bits"],
+        valid=arrs["valid"],
+        skus=[str(s) for s in meta["sku"].tolist()],
+        agg_texts=[str(t) for t in meta["agg_text"].tolist()],
+        vocab=vocab,
+        idf=arrs["idf"],
+        df=arrs["df"],
+        avgdl=float(manifest["avgdl"]),
+        n_docs=int(manifest["n_docs"]),
+    )
+    p.validate()
+
+    reviews: Optional[ReviewIndex] = None
+    if manifest.get("has_reviews"):
+        rarrs = np.load(src / "review_arrays.npz")
+        rmeta = pd.read_parquet(src / "review_meta.parquet")
+        reviews = ReviewIndex(
+            rev_emb=rarrs["rev_emb"],
+            rev_product=rarrs["rev_product"],
+            rev_valid=rarrs["rev_valid"],
+            rev_texts=[str(t) for t in rmeta["text"].tolist()],
+            rev_stars=rmeta["stars"].to_numpy(dtype=np.float32),
+            n_reviews_total=int(manifest["n_reviews_total"]),
+        )
+
+    return IndexBundle(
+        products=p,
+        reviews=reviews,
+        version=int(manifest["schema_version"]),
+        meta=manifest.get("meta", {}),
+    )

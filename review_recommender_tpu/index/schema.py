@@ -1,0 +1,142 @@
+"""Index bundle schema: the device-ready representation of the corpus.
+
+The whole corpus lives as dense, statically-shaped arrays so that a query is
+one jitted program (SURVEY.md §7 design stance). Strings never reach the
+device: term ids, term frequencies, gate bitsets and per-product scalars are
+precomputed at build time; SKUs and display text stay host-side.
+
+Array inventory (N_pad = N padded; L = DOC_TERMS_CAP; G = len(GATE_PHRASES)):
+
+  emb        (N_pad, D)  emb_dtype  L2-normalized product embeddings
+  n_reviews  (N_pad,)    float32    review counts (0 for padding)
+  avg_stars  (N_pad,)    float32    mean star rating (NaN allowed, 0 pad)
+  doc_terms  (N_pad, L)  int32      unique term ids per doc, 0 = PAD
+  doc_tf     (N_pad, L)  float32    term frequency for doc_terms
+  doc_len    (N_pad,)    float32    total token count incl. duplicates
+  gate_bits  (N_pad, G)  bool       GATE_PHRASES[i] substring-present in
+                                    agg_text[:6000] (host-precomputed)
+  valid      (N_pad,)    bool       real row vs padding
+
+Host-side (never on device):
+  skus, agg_texts, vocab (term -> id, id 0 reserved), idf (V+1,) f32 with
+  rank_bm25-compatible epsilon floor, df, avgdl, n_docs.
+
+Review index (optional, for best-snippet scoring):
+  rev_emb      (M_pad, D)  emb_dtype  L2-normalized review embeddings
+  rev_product  (M_pad,)    int32      owning product row (N = padding bucket)
+  rev_valid    (M_pad,)    bool
+  host: rev_texts, rev_stars (for displaying the chosen snippet)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from review_recommender_tpu.utils.text import GATE_PHRASES
+
+SCHEMA_VERSION = 1
+PAD_TERM_ID = 0
+
+
+def pad_rows(n: int, multiple: int) -> int:
+    """Round n up to a multiple (>= multiple so tiny corpora still tile)."""
+    m = max(int(multiple), 1)
+    return max(((n + m - 1) // m) * m, m)
+
+
+@dataclasses.dataclass
+class ProductIndex:
+    """Device arrays + host metadata for the product corpus."""
+
+    # device arrays (numpy on host until .to_device())
+    emb: np.ndarray
+    n_reviews: np.ndarray
+    avg_stars: np.ndarray
+    doc_terms: np.ndarray
+    doc_tf: np.ndarray
+    doc_len: np.ndarray
+    gate_bits: np.ndarray
+    valid: np.ndarray
+    # host metadata
+    skus: List[str]
+    agg_texts: List[str]
+    vocab: Dict[str, int]
+    idf: np.ndarray  # (V+1,) f32, idf[0] = 0 for PAD
+    df: np.ndarray  # (V+1,) i32
+    avgdl: float
+    n_docs: int
+
+    @property
+    def n_padded(self) -> int:
+        return int(self.emb.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.emb.shape[1])
+
+    @property
+    def terms_cap(self) -> int:
+        return int(self.doc_terms.shape[1])
+
+    def device_arrays(self, emb_dtype=jnp.bfloat16) -> dict:
+        """The pytree of arrays the query engine closes over."""
+        return {
+            "emb": jnp.asarray(self.emb, dtype=emb_dtype),
+            "n_reviews": jnp.asarray(self.n_reviews, dtype=jnp.float32),
+            "avg_stars": jnp.asarray(self.avg_stars, dtype=jnp.float32),
+            "doc_terms": jnp.asarray(self.doc_terms, dtype=jnp.int32),
+            "doc_tf": jnp.asarray(self.doc_tf, dtype=jnp.float32),
+            "doc_len": jnp.asarray(self.doc_len, dtype=jnp.float32),
+            "gate_bits": jnp.asarray(self.gate_bits, dtype=jnp.bool_),
+            "valid": jnp.asarray(self.valid, dtype=jnp.bool_),
+        }
+
+    def validate(self) -> None:
+        n_pad = self.n_padded
+        assert self.n_docs <= n_pad
+        for name in ("n_reviews", "avg_stars", "doc_len", "valid"):
+            arr = getattr(self, name)
+            assert arr.shape == (n_pad,), f"{name}: {arr.shape} != ({n_pad},)"
+        assert self.doc_terms.shape == self.doc_tf.shape
+        assert self.doc_terms.shape[0] == n_pad
+        assert self.gate_bits.shape == (n_pad, len(GATE_PHRASES))
+        assert len(self.skus) == self.n_docs
+        assert len(self.agg_texts) == self.n_docs
+        assert self.idf.shape[0] == len(self.vocab) + 1
+        assert int(self.valid.sum()) == self.n_docs
+
+
+@dataclasses.dataclass
+class ReviewIndex:
+    """Device arrays + host metadata for per-review embeddings (snippets)."""
+
+    rev_emb: np.ndarray
+    rev_product: np.ndarray
+    rev_valid: np.ndarray
+    rev_texts: List[str]
+    rev_stars: np.ndarray  # (M,) host, f32 (NaN allowed)
+    n_reviews_total: int
+
+    @property
+    def m_padded(self) -> int:
+        return int(self.rev_emb.shape[0])
+
+    def device_arrays(self, emb_dtype=jnp.bfloat16) -> dict:
+        return {
+            "rev_emb": jnp.asarray(self.rev_emb, dtype=emb_dtype),
+            "rev_product": jnp.asarray(self.rev_product, dtype=jnp.int32),
+            "rev_valid": jnp.asarray(self.rev_valid, dtype=jnp.bool_),
+        }
+
+
+@dataclasses.dataclass
+class IndexBundle:
+    """A versioned pairing of the product index and optional review index."""
+
+    products: ProductIndex
+    reviews: Optional[ReviewIndex] = None
+    version: int = SCHEMA_VERSION
+    meta: dict = dataclasses.field(default_factory=dict)
