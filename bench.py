@@ -1,0 +1,165 @@
+"""Headline benchmark: hybrid-query QPS on the TPU engine vs the reference's
+CPU execution model.
+
+Measures the fused hybrid query path (dense pool -> BM25 -> prior/trust/gate
+fusion -> top-k; BASELINE.json config 3) over a synthetic corpus sized like
+the reference's production index (N docs x 384-d embeddings + BM25 postings),
+then times a faithful vectorized-numpy implementation of the reference's
+run_search hot path (app/app_product_search.py:245-312: full-corpus cosine +
+argpartition pool, full-corpus BM25 term scoring, pool fusion) on the same
+data as the baseline. vs_baseline = TPU QPS / CPU QPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_N_DOCS (default 200000), BENCH_QUERIES (default 64),
+BENCH_DIM (384), BENCH_BASELINE_QUERIES (8).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _synth_index(n_docs: int, dim: int, vocab_size: int, terms_per_doc: int,
+                 seed: int = 0):
+    """Synthetic ProductIndex with realistic BM25 statistics (Zipf terms)."""
+    from review_recommender_tpu.index.build import compute_idf
+    from review_recommender_tpu.index.schema import ProductIndex, pad_rows
+    from review_recommender_tpu.utils.text import GATE_PHRASES
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    # Zipf-distributed term ids (1..vocab_size); unique per doc
+    raw = rng.zipf(1.3, size=(n_docs, terms_per_doc)).astype(np.int64)
+    terms = (raw % vocab_size + 1).astype(np.int32)
+    srt = np.sort(terms, axis=1)
+    dup = np.concatenate(
+        [np.zeros((n_docs, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+    )
+    terms = np.where(dup, 0, srt).astype(np.int32)
+    tf = np.where(terms > 0, rng.integers(1, 6, size=terms.shape), 0).astype(np.float32)
+    doc_len = tf.sum(axis=1).astype(np.float32)
+
+    df = np.zeros(vocab_size + 1, np.int32)
+    ids, counts = np.unique(terms[terms > 0], return_counts=True)
+    df[ids] = counts
+    idf = compute_idf(df, n_docs)
+
+    n_pad = pad_rows(n_docs, 256)
+    pad2 = lambda a: np.pad(a, [(0, n_pad - n_docs)] + [(0, 0)] * (a.ndim - 1))
+    n_reviews = rng.integers(0, 400, n_docs).astype(np.float32)
+    avg_stars = rng.uniform(1, 5, n_docs).astype(np.float32)
+
+    vocab = {f"t{i}": i for i in range(1, vocab_size + 1)}
+    return ProductIndex(
+        emb=pad2(emb), n_reviews=pad2(n_reviews), avg_stars=pad2(avg_stars),
+        doc_terms=pad2(terms), doc_tf=pad2(tf), doc_len=pad2(doc_len),
+        gate_bits=np.zeros((n_pad, len(GATE_PHRASES)), bool),
+        valid=np.arange(n_pad) < n_docs,
+        skus=[f"S{i}" for i in range(n_docs)],
+        agg_texts=[""] * n_docs,
+        vocab=vocab, idf=idf, df=df,
+        avgdl=float(doc_len.mean()), n_docs=n_docs,
+    )
+
+
+def _queries(rng, n_q: int, dim: int, vocab_size: int, n_terms: int = 5):
+    qvecs = rng.standard_normal((n_q, dim)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    qterm_ids = (rng.zipf(1.3, size=(n_q, n_terms)) % vocab_size + 1).astype(np.int32)
+    qstrings = [" ".join(f"t{t}" for t in row) for row in qterm_ids]
+    return qvecs, qterm_ids, qstrings
+
+
+def _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q):
+    """Vectorized numpy replica of the reference hot path — full-corpus
+    cosine + argpartition, full-corpus BM25 (rank_bm25 scores every doc per
+    query: app/app_product_search.py:206), pool minmax fusion, final sort."""
+    n = pidx.n_docs
+    V = pidx.emb[:n]
+    terms, tf, dl = pidx.doc_terms[:n], pidx.doc_tf[:n], pidx.doc_len[:n]
+    idf = pidx.idf
+    k1, b = 1.5, 0.75
+    norm = k1 * (1 - b + b * dl / max(pidx.avgdl, 1e-9))
+    nrev, stars = pidx.n_reviews[:n], pidx.avg_stars[:n]
+
+    def mm(x):
+        lo, hi = x.min(), x.max()
+        return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+
+    t0 = time.perf_counter()
+    for qi in range(n_q):
+        sims = V @ qvecs[qi]
+        p = min(pool, n)
+        cand = np.argpartition(-sims, p - 1)[:p]
+        cand = cand[np.argsort(-sims[cand], kind="stable")]
+        # full-corpus BM25, like rank_bm25.get_scores per token
+        scores = np.zeros(n, np.float32)
+        for t in qterm_ids[qi]:
+            tf_t = np.where(terms == t, tf, 0).sum(axis=1)
+            scores += idf[t] * tf_t * (k1 + 1) / (tf_t + norm)
+        bm25_c = scores[cand]
+        dense_c = mm(sims[cand])
+        bm25_n = mm(bm25_c)
+        g = np.nanmean(stars[cand])
+        pr = (stars[cand] * nrev[cand] + g * 20.0) / (nrev[cand] + 20.0 + 1e-9)
+        ln = np.log1p(nrev[cand])
+        prior = mm(pr) * 0.7 + 0.3 * ln / (ln.max() + 1e-9)
+        trust = 0.6 * np.clip(nrev[cand] / 8.0, 0, 1) + 0.4 * np.minimum(
+            1.0, np.log1p(nrev[cand]) / np.log1p(80.0)
+        )
+        final = (0.5 * dense_c + 0.3 * bm25_n + 0.2 * prior) * trust
+        order = np.argsort(-final, kind="stable")[:k]
+        _ = cand[order]
+    return n_q / (time.perf_counter() - t0)
+
+
+def main():
+    n_docs = int(os.getenv("BENCH_N_DOCS", "200000"))
+    dim = int(os.getenv("BENCH_DIM", "384"))
+    n_q = int(os.getenv("BENCH_QUERIES", "64"))
+    n_q_cpu = int(os.getenv("BENCH_BASELINE_QUERIES", "8"))
+    vocab_size = 30000
+    pool, k = 150, 10
+
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.schema import IndexBundle
+    from review_recommender_tpu.ops.fusion import FusionWeights
+
+    pidx = _synth_index(n_docs, dim, vocab_size, terms_per_doc=64)
+    rng = np.random.default_rng(42)
+    qvecs, qterm_ids, qstrings = _queries(rng, n_q, dim, vocab_size)
+
+    engine = SearchEngine(IndexBundle(products=pidx), emb_dtype="bfloat16",
+                          gate_mode="device")
+    w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_rerank=0.0,
+                           w_prior=0.2, w_best=0.0, prior_c=20.0,
+                           min_reviews=8, gate_penalty=1.0)
+
+    # warmup / compile
+    r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
+    np.asarray(r)
+
+    t0 = time.perf_counter()
+    for qi in range(n_q):
+        rows, scores = engine.query_fused(qvecs[qi], qstrings[qi], w, pool, k)
+    np.asarray(rows)  # sync
+    tpu_qps = n_q / (time.perf_counter() - t0)
+
+    cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
+
+    print(json.dumps({
+        "metric": f"hybrid search QPS (N={n_docs}, pool={pool}, k={k})",
+        "value": round(tpu_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

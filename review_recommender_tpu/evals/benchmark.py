@@ -1,0 +1,154 @@
+"""Benchmark runner: artifact checks, method sweep, latency stats, README
+table, JSON/CSV outputs.
+
+Mirrors the reference runner's surface (/root/reference/evals/run_benchmark.py:
+28-270: check_data_availability, run_performance_benchmark,
+format_results_for_readme, save_benchmark_results) and adds what the north
+star makes primary: per-query wall-clock -> QPS / p50 / p99 alongside the
+quality table.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Mapping, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from review_recommender_tpu.evals.metrics import IRMetrics
+from review_recommender_tpu.evals.queries import (
+    BENCHMARK_CONFIGS,
+    TEST_QUERIES,
+    synthetic_ground_truth,
+    validate_ground_truth,
+)
+
+
+def check_index_availability(bundle) -> Dict:
+    """Index-bundle health: doc counts, vocab, review sidecar."""
+    p = bundle.products
+    return {
+        "n_docs": p.n_docs,
+        "n_padded": p.n_padded,
+        "dim": p.dim,
+        "vocab_size": len(p.vocab),
+        "has_reviews": bundle.reviews is not None,
+        "ok": p.n_docs > 0 and len(p.vocab) > 0,
+    }
+
+
+def run_performance_benchmark(
+    search_fn: Callable,
+    queries: Sequence[Mapping],
+    method_configs: Optional[Mapping[str, Mapping]] = None,
+    k_values: Sequence[int] = (5, 10, 20),
+) -> Dict[str, Dict]:
+    """Sweep methods x queries, recording quality AND latency per method."""
+    method_configs = method_configs or BENCHMARK_CONFIGS
+    results: Dict[str, Dict] = {}
+    for method, cfg in method_configs.items():
+        metrics = IRMetrics(k_values)
+        lat: list = []
+        for q in queries:
+            t0 = time.perf_counter()
+            ranked = search_fn(q["query"], **dict(cfg))
+            lat.append(time.perf_counter() - t0)
+            if isinstance(ranked, tuple):
+                ranked = ranked[0]
+            if isinstance(ranked, pd.DataFrame):
+                ranked = ranked["sku"].tolist()
+            metrics.evaluate_query(
+                q.get("id", q["query"]), list(ranked), set(q["relevant_skus"])
+            )
+        lat_arr = np.asarray(lat)
+        results[method] = {
+            "aggregate": metrics.aggregate_metrics(),
+            "detail": metrics.detailed_report(),
+            "latency": {
+                "qps": float(1.0 / lat_arr.mean()) if lat_arr.size else 0.0,
+                "p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
+                "p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
+                "mean_ms": float(lat_arr.mean() * 1e3),
+            },
+        }
+    return results
+
+
+def format_results_table(results: Mapping[str, Dict],
+                         metrics=("ndcg@10", "mrr", "recall@20")) -> str:
+    """Markdown README table: metric rows x method columns."""
+    methods = list(results)
+    lines = ["| Metric | " + " | ".join(methods) + " |",
+             "|" + "---|" * (len(methods) + 1)]
+    label = {"mrr": "MRR@10"}
+    for m in metrics:
+        cells = [f"{results[meth]['aggregate'].get(m, float('nan')):.3f}"
+                 for meth in methods]
+        lines.append(f"| {label.get(m, m.upper().replace('@', '@'))} | "
+                     + " | ".join(cells) + " |")
+    lines.append("| p50 latency (ms) | " + " | ".join(
+        f"{results[m]['latency']['p50_ms']:.1f}" for m in methods) + " |")
+    lines.append("| QPS | " + " | ".join(
+        f"{results[m]['latency']['qps']:.1f}" for m in methods) + " |")
+    return "\n".join(lines)
+
+
+def save_benchmark_results(results: Mapping[str, Dict], out_dir: str | Path) -> None:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    summary = {
+        m: {"aggregate": r["aggregate"], "latency": r["latency"]}
+        for m, r in results.items()
+    }
+    (out / "benchmark_results.json").write_text(json.dumps(summary, indent=2))
+    pd.concat(
+        [r["detail"].assign(method=m) for m, r in results.items()],
+        ignore_index=True,
+    ).to_csv(out / "detailed_results.csv", index=False)
+    (out / "readme_table.md").write_text(format_results_table(results) + "\n")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Run the retrieval benchmark")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--out-dir", default="evals_out")
+    ap.add_argument("--synthetic-queries", type=int, default=10,
+                    help="generate N synthetic judged queries from the index")
+    ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
+    args = ap.parse_args(argv)
+
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.io import load_bundle
+    from review_recommender_tpu.models.encoder import BiEncoder
+
+    bundle = load_bundle(args.index_dir)
+    avail = check_index_availability(bundle)
+    print(json.dumps({"index": avail}))
+    if not avail["ok"]:
+        return 1
+
+    encoder = BiEncoder.random_for_dim(bundle.products.dim)  # or converted weights
+    engine = SearchEngine(bundle, query_encoder=encoder, gate_mode=args.gate_mode)
+
+    p = bundle.products
+    queries = synthetic_ground_truth(
+        p.skus, p.agg_texts, n_queries=args.synthetic_queries
+    )
+    print(json.dumps({"ground_truth": validate_ground_truth(queries, p.skus)}))
+
+    def search(q, **cfg):
+        df, _s, _d = engine.run_search(q, **cfg)
+        return df
+
+    results = run_performance_benchmark(search, queries)
+    save_benchmark_results(results, args.out_dir)
+    print(format_results_table(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

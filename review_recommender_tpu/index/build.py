@@ -65,18 +65,23 @@ def build_product_index(
     *,
     doc_terms_cap: int = 512,
     pad_multiple: int = 256,
+    token_lists: Optional[List[List[str]]] = None,
 ) -> ProductIndex:
     """Build the device-ready product index from host columns.
 
     embeddings: (N, D) float array (will be L2-normalized, like the online
     loader does at app/app_product_search.py:110).
+    token_lists: pre-tokenized corpus (e.g. imported from a reference
+    product_bm25.pkl blob); defaults to tokenizing agg_texts.
     """
     n = len(skus)
     assert embeddings.shape[0] == n, (embeddings.shape, n)
     assert len(agg_texts) == n and len(n_reviews) == n and len(avg_stars) == n
 
     # ---- tokenize all documents (simple_en_v1) ----
-    token_lists = [tokenize_document(t) for t in agg_texts]
+    if token_lists is None:
+        token_lists = [tokenize_document(t) for t in agg_texts]
+    assert len(token_lists) == n
 
     # ---- vocabulary & document frequencies ----
     vocab: Dict[str, int] = {}

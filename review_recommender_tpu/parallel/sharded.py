@@ -1,0 +1,309 @@
+"""Corpus-sharded query engine: shard_map over a 1-D device mesh.
+
+The scaling dimension of this workload is corpus size N (SURVEY.md §5 "long
+context" note) — so the parallelism strategy is *corpus-axis sharding*: the
+embedding matrix, postings arrays and per-product scalars are partitioned
+row-wise across the mesh ("shards" axis, v5e-8 target: 8 chips over ICI).
+
+Per query (one SPMD program, no host round-trips):
+
+  each chip   dense scores over its N/n rows  ->  local top-`pool`
+  allgather   (scores, global row ids): n x pool pairs over ICI   [tiny: KBs]
+  each chip   identical merge: top_k over the n*pool merged pool
+  psum        candidate-feature assembly: owner chip contributes its rows,
+              zeros elsewhere; one psum materializes the (pool, L) features
+              replicated on every chip                             [~300 KB]
+  replicated  BM25 + gate + fusion + final top-k (identical on all chips —
+              this is the merge-then-fuse ordering SURVEY.md §7 hard-part #4
+              argues for: minmax statistics are computed over the *global*
+              pool so sharding cannot change scores)
+  pmax        optional snippet signal: per-shard max review sim per
+              candidate, maxed over shards
+
+The reference has no distributed anything (SURVEY.md §2c) — its "scaling
+story" is stateless Docker replicas. This module is the TPU-native scaling
+story: ~n x the HBM bandwidth and n x the corpus per slice.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from review_recommender_tpu.config import config
+from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.index.schema import IndexBundle, ProductIndex
+from review_recommender_tpu.ops.bm25 import bm25_candidate_scores, bm25_full_scores
+from review_recommender_tpu.ops.dense import dense_scores
+from review_recommender_tpu.ops.fusion import FusionWeights, final_topk, fuse_candidates
+from review_recommender_tpu.ops.gate import gate_factors_device
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+
+
+def _pad_rows_to(arr: np.ndarray, n_rows: int) -> np.ndarray:
+    if arr.shape[0] == n_rows:
+        return arr
+    pad = [(0, n_rows - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+class ShardedSearchEngine:
+    """The hybrid engine over a corpus sharded across `n_shards` devices.
+
+    Exposes `query_fused` with the same contract as
+    engine/search.py:SearchEngine.query_fused (rerank-free fused path), plus
+    standalone `dense_topk` / `bm25_topk` (BASELINE configs 1-2 at scale).
+    """
+
+    def __init__(
+        self,
+        bundle: IndexBundle,
+        *,
+        mesh: Optional[Mesh] = None,
+        n_shards: Optional[int] = None,
+        emb_dtype: Optional[str] = None,
+        axis: Optional[str] = None,
+    ):
+        self.bundle = bundle
+        self.products: ProductIndex = bundle.products
+        self.reviews = bundle.reviews
+        self.axis = axis or config.MESH_AXIS
+        dtype = _DTYPES[emb_dtype or config.EMB_DTYPE]
+
+        if mesh is None:
+            n = n_shards or config.MESH_SHARDS
+            devices = np.array(jax.devices()[:n])
+            mesh = Mesh(devices, (self.axis,))
+        self.mesh = mesh
+        self.n_shards = mesh.shape[self.axis]
+
+        # ---- place corpus arrays, re-padding rows to a shard multiple ----
+        prod = self.products
+        n_pad = prod.n_padded
+        per = -(-n_pad // self.n_shards)
+        per = max(per, 8)  # keep sublane tiling on tiny test corpora
+        n_pad = per * self.n_shards
+        self.n_docs = prod.n_docs
+        self._local_rows = per
+
+        host = prod.device_arrays(dtype)  # numpy->jnp conversion w/ dtypes
+        shard = NamedSharding(mesh, P(self.axis))
+
+        def place(name, arr):
+            arr = _pad_rows_to(np.asarray(arr), n_pad)
+            return jax.device_put(arr, shard)
+
+        self.arrays = {k: place(k, v) for k, v in host.items()}
+        self.avgdl = jnp.float32(prod.avgdl if prod.avgdl else 1.0)
+
+        self.rev_arrays = None
+        if self.reviews is not None:
+            rhost = self.reviews.device_arrays(dtype)
+            m_pad = self.reviews.m_padded
+            rper = -(-m_pad // self.n_shards)
+            rper = max(rper, 8)
+            m_pad = rper * self.n_shards
+            self.rev_arrays = {}
+            for k, v in rhost.items():
+                arr = np.asarray(v)
+                if k == "rev_product":
+                    # pad rows map to the discard bucket, not product 0
+                    ext = np.full(m_pad - arr.shape[0], self.n_docs, arr.dtype)
+                    arr = np.concatenate([arr, ext])
+                else:
+                    arr = _pad_rows_to(arr, m_pad)
+                self.rev_arrays[k] = jax.device_put(arr, NamedSharding(mesh, P(self.axis)))
+
+        self.featurizer = QueryFeaturizer(prod, query_terms_cap=config.QUERY_TERMS_CAP)
+        self._compiled = {}
+
+    # ------------------------------------------------------------ SPMD blocks
+    def _fused_block(self, a, rev, qvec, q_terms, q_idf, gp_mask, gt_ids,
+                     g_valid, w, use_snips, *, pool, k):
+        """Per-device body under shard_map. `a` holds LOCAL rows."""
+        ax = self.axis
+        local_n = a["emb"].shape[0]
+        offset = jax.lax.axis_index(ax) * local_n
+
+        # local dense scores -> local top-pool
+        sims = dense_scores(a["emb"], qvec, a["valid"])
+        p_local = min(pool, local_n)
+        l_scores, l_idx = jax.lax.top_k(sims, p_local)
+        g_idx = l_idx + offset
+
+        # allgather the tiny (scores, ids) pairs over ICI; identical merge
+        all_s = jax.lax.all_gather(l_scores, ax).reshape(-1)
+        all_i = jax.lax.all_gather(g_idx, ax).reshape(-1)
+        pool_eff = min(pool, all_s.shape[0])
+        pool_scores, sel = jax.lax.top_k(all_s, pool_eff)
+        pool_gidx = jnp.take(all_i, sel)
+        cand_valid = jnp.isfinite(pool_scores)
+
+        # candidate-feature assembly: owner contributes, psum replicates
+        local_rows = pool_gidx - offset
+        mine = (local_rows >= 0) & (local_rows < local_n)
+        safe = jnp.where(mine, local_rows, 0)
+
+        def assemble(arr, out_dtype=None):
+            g = jnp.take(arr, safe, axis=0)
+            if out_dtype is not None:
+                g = g.astype(out_dtype)
+            m = mine.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jax.lax.psum(jnp.where(m, g, jnp.zeros_like(g)), ax)
+
+        doc_terms = assemble(a["doc_terms"])
+        doc_tf = assemble(a["doc_tf"])
+        doc_len = assemble(a["doc_len"])
+        gate_bits = assemble(a["gate_bits"], out_dtype=jnp.int32) > 0
+        n_reviews = assemble(a["n_reviews"])
+        # NaN-able: psum of zeros-elsewhere works because only one owner
+        stars_owner = jnp.where(mine, jnp.take(a["avg_stars"], safe), 0.0)
+        avg_stars_sum = jax.lax.psum(jnp.where(jnp.isnan(stars_owner), 0.0, stars_owner), ax)
+        stars_nan = jax.lax.psum(jnp.where(mine & jnp.isnan(stars_owner), 1.0, 0.0), ax)
+        avg_stars = jnp.where(stars_nan > 0, jnp.nan, avg_stars_sum)
+
+        # replicated scoring tail — identical math to the single-chip engine
+        bm25_raw = bm25_candidate_scores(
+            doc_terms, doc_tf, doc_len, q_terms, q_idf, self.avgdl
+        )
+        _, gate_hits = gate_factors_device(
+            gate_bits, doc_terms, gp_mask, gt_ids, g_valid, jnp.float32(1.0)
+        )
+        n_groups = jnp.sum(g_valid.astype(jnp.int32))
+        gate = jnp.power(
+            w.gate_penalty, (n_groups - gate_hits).astype(jnp.float32)
+        )
+
+        Pp = pool_eff
+        if rev is not None:
+            r_sims = jnp.dot(
+                rev["rev_emb"], qvec.astype(rev["rev_emb"].dtype),
+                preferred_element_type=jnp.float32,
+            )
+            r_sims = jnp.where(rev["rev_valid"], r_sims, -jnp.inf)
+            seg_match = rev["rev_product"][:, None] == pool_gidx[None, :]
+            local_best = jnp.max(
+                jnp.where(seg_match, r_sims[:, None], -jnp.inf), axis=0
+            )
+            best_all = jax.lax.pmax(local_best, ax)
+            # keep negative sims: products with no reviews contribute 0, the
+            # rest keep their raw max sim (engine/search.py fused path parity)
+            best_raw = jnp.where(
+                use_snips & jnp.isfinite(best_all), best_all, 0.0
+            )
+            has_snips = use_snips & jnp.any(best_raw > 0)
+        else:
+            best_raw = jnp.zeros(Pp, jnp.float32)
+            has_snips = jnp.bool_(False)
+
+        res = fuse_candidates(
+            pool_scores, bm25_raw,
+            jnp.zeros(Pp, jnp.float32), jnp.zeros(Pp, jnp.bool_),
+            best_raw, has_snips, n_reviews, avg_stars,
+            gate, cand_valid, w,
+        )
+        scores, pos = final_topk(res, min(k, Pp))
+        return jnp.take(pool_gidx, pos), scores
+
+    def _dense_block(self, emb, valid, qvec, *, k):
+        ax = self.axis
+        local_n = emb.shape[0]
+        offset = jax.lax.axis_index(ax) * local_n
+        sims = dense_scores(emb, qvec, valid)
+        kl = min(k, local_n)
+        s, i = jax.lax.top_k(sims, kl)
+        all_s = jax.lax.all_gather(s, ax).reshape(-1)
+        all_i = jax.lax.all_gather(i + offset, ax).reshape(-1)
+        ke = min(k, all_s.shape[0])
+        top_s, sel = jax.lax.top_k(all_s, ke)
+        return jnp.take(all_i, sel), top_s
+
+    def _bm25_block(self, doc_terms, doc_tf, doc_len, valid, q_terms, q_idf, *, k):
+        ax = self.axis
+        local_n = doc_terms.shape[0]
+        offset = jax.lax.axis_index(ax) * local_n
+        scores = bm25_full_scores(doc_terms, doc_tf, doc_len, q_terms, q_idf, self.avgdl)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        kl = min(k, local_n)
+        s, i = jax.lax.top_k(scores, kl)
+        all_s = jax.lax.all_gather(s, ax).reshape(-1)
+        all_i = jax.lax.all_gather(i + offset, ax).reshape(-1)
+        ke = min(k, all_s.shape[0])
+        top_s, sel = jax.lax.top_k(all_s, ke)
+        return jnp.take(all_i, sel), top_s
+
+    # ---------------------------------------------------------------- compile
+    def _get_fused(self, pool: int, k: int):
+        key = ("fused", pool, k)
+        if key not in self._compiled:
+            ax = self.axis
+            sh = P(ax)
+            rep = P()
+            a_specs = {n: sh for n in self.arrays}
+            rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
+            body = functools.partial(self._fused_block, pool=pool, k=k)
+            in_specs = (a_specs, rev_specs, rep, rep, rep, rep, rep, rep,
+                        jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
+            fn = jax.shard_map(
+                body, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(rep, rep), check_vma=False,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def _get_simple(self, kind: str, k: int):
+        key = (kind, k)
+        if key not in self._compiled:
+            ax = self.axis
+            sh, rep = P(ax), P()
+            if kind == "dense":
+                fn = jax.shard_map(
+                    functools.partial(self._dense_block, k=k),
+                    mesh=self.mesh, in_specs=(sh, sh, rep),
+                    out_specs=(rep, rep), check_vma=False,
+                )
+            else:
+                fn = jax.shard_map(
+                    functools.partial(self._bm25_block, k=k),
+                    mesh=self.mesh, in_specs=(sh, sh, sh, sh, rep, rep),
+                    out_specs=(rep, rep), check_vma=False,
+                )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    # ----------------------------------------------------------------- public
+    def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
+                    use_snips: bool = False):
+        """Returns (corpus row ids (k,), final scores (k,)) — same contract as
+        the single-chip SearchEngine.query_fused."""
+        qf = self.featurizer.featurize(query)
+        fn = self._get_fused(pool, k)
+        return fn(
+            self.arrays, self.rev_arrays,
+            jnp.asarray(qvec, jnp.float32),
+            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
+            jnp.asarray(qf.group_valid),
+            w, jnp.bool_(use_snips),
+        )
+
+    def dense_topk(self, qvec, k: int):
+        fn = self._get_simple("dense", k)
+        idx, scores = fn(self.arrays["emb"], self.arrays["valid"],
+                         jnp.asarray(qvec, jnp.float32))
+        return idx, scores
+
+    def bm25_topk(self, query: str, k: int):
+        qf = self.featurizer.featurize(query)
+        fn = self._get_simple("bm25", k)
+        idx, scores = fn(
+            self.arrays["doc_terms"], self.arrays["doc_tf"],
+            self.arrays["doc_len"], self.arrays["valid"],
+            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+        )
+        return idx, scores

@@ -1,0 +1,160 @@
+"""HTTP serving: a dependency-free JSON API over the jitted engine.
+
+Replaces the reference's Streamlit app + nginx health plumbing
+(/root/reference/app/app_product_search.py:372-490, nginx.conf:29-33) with a
+thread-per-request stdlib HTTP server fronting ONE SearchEngine instance.
+The engine's jitted programs are compiled once at startup (warmup), so the
+first user query is fast — unlike the reference, which lazy-loads models on
+first search.
+
+Endpoints:
+  GET  /healthz           liveness: {"status": "ok"}  (Docker HEALTHCHECK)
+  GET  /readyz            readiness: index + encoder loaded, warmup done
+  GET  /debug/info        corpus stats, mesh, dtype, compiled programs
+  POST /search            {"query": "...", "k": 10, ...engine knobs...}
+                          -> {"results": [...], "snippets": {...},
+                              "debug": {...}, "took_ms": float}
+
+Search parameters accept exactly the run_search surface
+(app/app_product_search.py:245-248 parity).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from review_recommender_tpu.config import config
+
+logger = logging.getLogger(__name__)
+
+SEARCH_KNOBS = (
+    "k", "rerank_k", "w_dense", "w_bm25", "w_rerank", "w_prior", "w_best",
+    "prior_C", "use_snips", "max_scan", "min_reviews", "gate_penalty",
+)
+
+
+class SearchService:
+    """Engine wrapper with warmup + request stats (thread-safe: JAX dispatch
+    holds the GIL only briefly; one engine serves all handler threads)."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.ready = False
+        self.stats = {"requests": 0, "errors": 0, "total_ms": 0.0}
+        self._lock = threading.Lock()
+
+    def warmup(self, qvec_dim: Optional[int] = None) -> None:
+        dim = qvec_dim or self.engine.products.dim
+        qvec = np.zeros(dim, np.float32)
+        qvec[0] = 1.0
+        self.engine.run_search("warmup query", qvec=qvec, k=5, rerank_k=0)
+        self.ready = True
+
+    def search(self, payload: dict) -> dict:
+        query = payload.get("query", "")
+        if not query:
+            raise ValueError("missing 'query'")
+        kwargs = {k: payload[k] for k in SEARCH_KNOBS if k in payload}
+        if "qvec" in payload:
+            kwargs["qvec"] = np.asarray(payload["qvec"], dtype=np.float32)
+        t0 = time.perf_counter()
+        df, snips, debug = self.engine.run_search(query, **kwargs)
+        took = (time.perf_counter() - t0) * 1e3
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["total_ms"] += took
+        return {
+            "results": df.to_dict(orient="records"),
+            "snippets": snips,
+            "debug": debug,
+            "took_ms": round(took, 3),
+        }
+
+    def info(self) -> dict:
+        p = self.engine.products
+        return {
+            "n_docs": p.n_docs,
+            "n_padded": p.n_padded,
+            "dim": p.dim,
+            "vocab_size": len(p.vocab),
+            "has_reviews": self.engine.reviews is not None,
+            "gate_mode": self.engine.gate_mode,
+            "emb_dtype": str(self.engine.dtype.__name__ if hasattr(self.engine.dtype, "__name__") else self.engine.dtype),
+            "ready": self.ready,
+            "stats": dict(self.stats),
+        }
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/readyz":
+                code = 200 if service.ready else 503
+                self._send(code, {"ready": service.ready})
+            elif self.path == "/debug/info":
+                self._send(200, service.info())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/search":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                self._send(200, service.search(payload))
+            except ValueError as e:
+                service.stats["errors"] += 1
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("search failed")
+                service.stats["errors"] += 1
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):
+            logger.debug("http: " + fmt, *args)
+
+    return Handler
+
+
+def serve(engine, host: Optional[str] = None, port: Optional[int] = None,
+          warmup: bool = True, warmup_async: bool = False) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever()).
+
+    The socket binds BEFORE warmup so /healthz answers during the first
+    compile; /readyz flips to 200 when warmup completes. warmup_async=True
+    runs warmup in a daemon thread (production startup); synchronous warmup
+    is the default so callers that immediately serve traffic get compiled
+    programs.
+    """
+    service = SearchService(engine)
+    srv = ThreadingHTTPServer(
+        (host or config.APP_HOST, port or config.APP_PORT),
+        make_handler(service),
+    )
+    srv.service = service  # for tests/introspection
+    if warmup:
+        if warmup_async:
+            threading.Thread(target=service.warmup, daemon=True).start()
+        else:
+            service.warmup()
+    return srv

@@ -1,0 +1,191 @@
+"""Unified CLI: ONE engine consumed by search / serve / audit / health /
+bench subcommands.
+
+The reference ships a second, divergent engine implementation as its CLI
+(/root/reference/app/test.py:228-342 — different pool size, different
+weights, no trust multiplier; SURVEY.md §3.2). This build deliberately has a
+single engine (engine/search.py) behind every entry point.
+
+  rrt search  --index-dir DIR "query text" [--k 10 ...] [--json-out f.json]
+  rrt serve   --index-dir DIR [--host 0.0.0.0 --port 8501]
+  rrt audit   --index-dir DIR          (artifact audit; exit code gates deploy)
+  rrt health  [--url http://host:port] (liveness probe; exit 0/1)
+  rrt bench   --index-dir DIR          (QPS/p50 on the loaded index)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from review_recommender_tpu.config import config
+
+
+def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
+                 with_models: bool = True):
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.io import load_bundle
+
+    bundle = load_bundle(index_dir)
+    encoder = None
+    if with_models:
+        from review_recommender_tpu.models.encoder import BiEncoder
+
+        # dim-matched random tower; converted checkpoint weights plug in here
+        encoder = BiEncoder.random_for_dim(bundle.products.dim)
+    return SearchEngine(bundle, query_encoder=encoder, gate_mode=gate_mode)
+
+
+def cmd_search(args) -> int:
+    engine = _load_engine(args.index_dir, args.gate_mode)
+    t0 = time.perf_counter()
+    df, snips, debug = engine.run_search(
+        args.query, k=args.k, rerank_k=args.rerank_k,
+        w_dense=args.w_dense, w_bm25=args.w_bm25, w_rerank=args.w_rerank,
+        w_prior=args.w_prior, w_best=args.w_best, prior_C=args.prior_c,
+        use_snips=args.snippets, min_reviews=args.min_reviews,
+        gate_penalty=args.gate_penalty,
+    )
+    took = time.perf_counter() - t0
+    for rank, row in enumerate(df.to_dict(orient="records"), 1):
+        print(f"{rank:2d}. {row['sku']}  final={row['_final']:.4f} "
+              f"dense={row['_dense']:.3f} bm25={row['_bm25']:.3f} "
+              f"prior={row['_prior']:.3f} stars={row['avg_stars']:.2f} "
+              f"n={int(row['n_reviews'])}")
+    print(f"-- {len(df)} results in {took:.3f}s "
+          f"(pool={debug['pool']}, bm25_active={debug['bm25_active']})")
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps({
+            "query": args.query,
+            "results": df.to_dict(orient="records"),
+            "snippets": snips, "debug": debug, "took_s": took,
+        }, indent=2))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from review_recommender_tpu.serve.api import serve
+
+    engine = _load_engine(args.index_dir, args.gate_mode)
+    srv = serve(engine, host=args.host, port=args.port, warmup_async=True)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(docs={engine.products.n_docs}); warming up in background",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+def cmd_audit(args) -> int:
+    from review_recommender_tpu.serve.audit import audit_index_dir
+
+    report = audit_index_dir(args.index_dir)
+    print(json.dumps(report, indent=2, default=str))
+    return 0 if report["ok"] else 1
+
+
+def cmd_health(args) -> int:
+    import urllib.request
+
+    url = args.url.rstrip("/") + "/healthz"
+    try:
+        with urllib.request.urlopen(url, timeout=args.timeout) as r:
+            ok = r.status == 200
+    except Exception as e:
+        print(f"health check failed: {e}", file=sys.stderr)
+        return 1
+    print("OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    engine = _load_engine(args.index_dir, gate_mode="device", with_models=False)
+    from review_recommender_tpu.ops.fusion import FusionWeights
+
+    dim = engine.products.dim
+    rng = np.random.default_rng(0)
+    texts = [t for t in engine.products.agg_texts[:64] if t] or ["test query"]
+    qvecs = rng.standard_normal((args.n_queries, dim)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    w = FusionWeights.make()
+    engine.query_fused(qvecs[0], texts[0], w, pool=150, k=10)  # compile
+    lat = []
+    for i in range(args.n_queries):
+        t0 = time.perf_counter()
+        rows, scores = engine.query_fused(
+            qvecs[i], texts[i % len(texts)], w, pool=150, k=10
+        )
+        np.asarray(rows)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    print(json.dumps({
+        "qps": round(1 / lat.mean(), 2),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 3),
+        "n_docs": engine.products.n_docs,
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="rrt", description="TPU review-recommender framework CLI"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = config
+    s = sub.add_parser("search", help="run one query")
+    s.add_argument("query")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--k", type=int, default=c.DEFAULT_K)
+    s.add_argument("--rerank-k", type=int, default=0)
+    s.add_argument("--w-dense", type=float, default=c.DEFAULT_W_DENSE)
+    s.add_argument("--w-bm25", type=float, default=c.DEFAULT_W_BM25)
+    s.add_argument("--w-rerank", type=float, default=c.DEFAULT_W_RERANK)
+    s.add_argument("--w-prior", type=float, default=c.DEFAULT_W_PRIOR)
+    s.add_argument("--w-best", type=float, default=c.DEFAULT_W_BEST)
+    s.add_argument("--prior-c", type=float, default=c.DEFAULT_PRIOR_C)
+    s.add_argument("--min-reviews", type=int, default=c.DEFAULT_MIN_REVIEWS)
+    s.add_argument("--gate-penalty", type=float, default=c.DEFAULT_GATE_PENALTY)
+    s.add_argument("--gate-mode", default=None, choices=[None, "host", "device"])
+    s.add_argument("--snippets", action="store_true")
+    s.add_argument("--json-out")
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve", help="start the HTTP API")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--host", default=c.APP_HOST)
+    v.add_argument("--port", type=int, default=c.APP_PORT)
+    v.add_argument("--gate-mode", default=None)
+    v.set_defaults(fn=cmd_serve)
+
+    a = sub.add_parser("audit", help="validate index artifacts")
+    a.add_argument("--index-dir", required=True)
+    a.set_defaults(fn=cmd_audit)
+
+    h = sub.add_parser("health", help="probe a running server")
+    h.add_argument("--url", default=f"http://localhost:{c.APP_PORT}")
+    h.add_argument("--timeout", type=float, default=5.0)
+    h.set_defaults(fn=cmd_health)
+
+    b = sub.add_parser("bench", help="QPS/p50 on the loaded index")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--n-queries", type=int, default=64)
+    b.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,7 +6,9 @@ Must run before the first `import jax` anywhere in the test process.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the image exports JAX_PLATFORMS=axon (the tunneled TPU);
+# tests must run on the virtual 8-device CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = os.environ.get("RRT_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The image's sitecustomize force-registers the axon TPU plugin and overrides
+# JAX_PLATFORMS; jax.config wins over both.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 @pytest.fixture

@@ -1,0 +1,145 @@
+"""Serving tests: HTTP API end-to-end on a live socket, audit gate, CLI."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from review_recommender_tpu.engine.search import SearchEngine
+from review_recommender_tpu.index.build import build_bundle_from_products
+from review_recommender_tpu.index.io import save_bundle
+from tests.test_engine_parity import make_corpus
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    products, emb, reviews, remb = make_corpus(n=24, dim=32, seed=9)
+    return build_bundle_from_products(
+        products, emb, reviews=reviews, review_embeddings=remb,
+        pad_multiple=8, doc_terms_cap=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(bundle):
+    def enc(text):
+        rng = np.random.default_rng(abs(hash(text)) % (2**32))
+        v = rng.standard_normal(32).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    return SearchEngine(bundle, emb_dtype="float32", gate_mode="device",
+                        query_encoder=enc)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    from review_recommender_tpu.serve.api import serve
+
+    srv = serve(engine, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestHTTP:
+    def test_healthz(self, server):
+        code, body = _get(server + "/healthz")
+        assert code == 200 and body["status"] == "ok"
+
+    def test_readyz_after_warmup(self, server):
+        code, body = _get(server + "/readyz")
+        assert code == 200 and body["ready"]
+
+    def test_search_endpoint(self, server):
+        code, body = _post(server + "/search", {
+            "query": "wireless headphones", "k": 5, "rerank_k": 0,
+        })
+        assert code == 200
+        assert len(body["results"]) == 5
+        row = body["results"][0]
+        for col in ("sku", "_final", "_dense", "_bm25"):
+            assert col in row
+        assert body["took_ms"] > 0
+        assert body["debug"]["tokens"] == ["wireless", "headphones"]
+
+    def test_search_missing_query_400(self, server):
+        code, body = _post(server + "/search", {})
+        assert code == 400 and "error" in body
+
+    def test_unknown_route_404(self, server):
+        code, _ = _post(server + "/nope", {})
+        assert code == 404
+
+    def test_debug_info(self, server):
+        code, body = _get(server + "/debug/info")
+        assert code == 200
+        assert body["n_docs"] == 24
+        assert body["stats"]["requests"] >= 1
+
+
+class TestAudit:
+    def test_good_bundle_passes(self, bundle, tmp_path):
+        from review_recommender_tpu.serve.audit import audit_index_dir
+
+        save_bundle(bundle, tmp_path / "idx")
+        report = audit_index_dir(tmp_path / "idx")
+        assert report["ok"], report
+        names = {c["check"] for c in report["checks"]}
+        assert {"required_files", "checksums", "bundle_loads",
+                "sku_uniqueness", "embeddings_normalized"} <= names
+
+    def test_missing_file_fails(self, bundle, tmp_path):
+        from review_recommender_tpu.serve.audit import audit_index_dir
+
+        save_bundle(bundle, tmp_path / "idx")
+        (tmp_path / "idx" / "vocab.txt").unlink()
+        report = audit_index_dir(tmp_path / "idx")
+        assert not report["ok"]
+
+    def test_corrupted_checksum_fails(self, bundle, tmp_path):
+        from review_recommender_tpu.serve.audit import audit_index_dir
+
+        save_bundle(bundle, tmp_path / "idx")
+        with open(tmp_path / "idx" / "vocab.txt", "a") as f:
+            f.write("tampered\n")
+        report = audit_index_dir(tmp_path / "idx")
+        assert not report["ok"]
+        bad = [c for c in report["checks"] if c["check"] == "checksums"][0]
+        assert not bad["passed"]
+
+
+class TestCLI:
+    def test_audit_subcommand(self, bundle, tmp_path, capsys):
+        from review_recommender_tpu.serve.cli import main
+
+        save_bundle(bundle, tmp_path / "idx")
+        rc = main(["audit", "--index-dir", str(tmp_path / "idx")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["ok"]
+
+    def test_health_subcommand_down(self):
+        from review_recommender_tpu.serve.cli import main
+
+        rc = main(["health", "--url", "http://127.0.0.1:1",
+                   "--timeout", "0.5"])
+        assert rc == 1

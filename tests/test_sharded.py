@@ -1,0 +1,136 @@
+"""Sharded-engine tests on the 8-virtual-device CPU mesh (conftest.py sets
+xla_force_host_platform_device_count=8 — the v5e-8 stand-in).
+
+Contract: sharding must not change results. Every test compares the
+ShardedSearchEngine against the single-chip SearchEngine / numpy oracle on
+the same bundle.
+"""
+import jax
+import numpy as np
+import pytest
+
+from review_recommender_tpu.engine.search import SearchEngine
+from review_recommender_tpu.index.build import build_bundle_from_products
+from review_recommender_tpu.ops.fusion import FusionWeights
+from review_recommender_tpu.parallel.sharded import ShardedSearchEngine
+from tests import oracle
+from tests.test_engine_parity import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(n=96, dim=64, seed=4)
+
+
+@pytest.fixture(scope="module")
+def bundle(corpus):
+    products, emb, reviews, remb = corpus
+    return build_bundle_from_products(
+        products, emb, reviews=reviews, review_embeddings=remb,
+        pad_multiple=16, doc_terms_cap=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def single(bundle):
+    return SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+
+
+@pytest.fixture(scope="module")
+def sharded(bundle):
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+
+
+def _qvec(seed, dim=64):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+class TestDenseSharded:
+    def test_matches_oracle(self, sharded, corpus):
+        products, emb, *_ = corpus
+        V = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        q = _qvec(11)
+        idx, scores = sharded.dense_topk(q, k=10)
+        ref_idx, ref_scores = oracle.cosine_topk_np(q, V, 10)
+        np.testing.assert_allclose(
+            np.asarray(scores), ref_scores, rtol=1e-5, atol=1e-6
+        )
+        assert set(np.asarray(idx).tolist()) == set(ref_idx.tolist())
+
+
+class TestBM25Sharded:
+    def test_matches_single_chip_full_scores(self, sharded, bundle, corpus):
+        products, *_ = corpus
+        from review_recommender_tpu.utils.text import tokenize_document
+
+        texts = [p["agg_text"] for p in products]
+        bm25 = oracle.BM25OkapiOracle([tokenize_document(t) for t in texts])
+        query = "wireless bluetooth headphones noise cancelling"
+        from review_recommender_tpu.utils.text import tokenize_query
+
+        ref = bm25.get_scores(tokenize_query(query))
+        k = 15
+        idx, scores = sharded.bm25_topk(query, k=k)
+        order = np.argsort(-ref, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores))[::-1], np.sort(ref[order])[::-1],
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+class TestFusedSharded:
+    @pytest.mark.parametrize("query,seed", [
+        ("yellow cat socks", 21),
+        ("wireless bluetooth headphones noise cancelling", 22),
+        ("stainless steel kitchen knife", 23),
+    ])
+    def test_matches_single_chip(self, single, sharded, query, seed):
+        q = _qvec(seed)
+        w = FusionWeights.make(
+            w_dense=0.5, w_bm25=0.3, w_rerank=0.0, w_prior=0.2, w_best=0.0,
+            prior_c=20.0, min_reviews=5, gate_penalty=0.3,
+        )
+        rows_s, scores_s, _res, _pos = single._fused(
+            jax.numpy.asarray(q), *_feat(single, query), w,
+            jax.numpy.bool_(False), pool=64, k=10,
+        )
+        rows_m, scores_m = sharded.query_fused(q, query, w, pool=64, k=10)
+        np.testing.assert_allclose(
+            np.asarray(scores_m), np.asarray(scores_s), rtol=2e-4, atol=2e-5
+        )
+        # identical candidates modulo near-tie swaps
+        ss, sm = np.asarray(scores_s), np.asarray(scores_m)
+        for i, (a, b) in enumerate(zip(np.asarray(rows_s), np.asarray(rows_m))):
+            if a != b:
+                assert abs(ss[i] - sm[i]) < 1e-4
+
+    def test_snippet_signal(self, single, sharded):
+        q = _qvec(31)
+        w = FusionWeights.make(
+            w_dense=1.0, w_bm25=0.0, w_rerank=0.0, w_prior=0.0, w_best=0.3,
+            prior_c=20.0, min_reviews=1, gate_penalty=1.0,
+        )
+        rows_s, scores_s, _r, _p = single._fused(
+            jax.numpy.asarray(q), *_feat(single, "yellow socks"), w,
+            jax.numpy.bool_(True), pool=32, k=8,
+        )
+        rows_m, scores_m = sharded.query_fused(
+            q, "yellow socks", w, pool=32, k=8, use_snips=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores_m), np.asarray(scores_s), rtol=2e-4, atol=2e-5
+        )
+
+
+def _feat(engine, query):
+    import jax.numpy as jnp
+
+    qf = engine.featurizer.featurize(query)
+    return (
+        jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+        jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
+        jnp.asarray(qf.group_valid),
+    )
