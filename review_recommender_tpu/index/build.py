@@ -78,42 +78,69 @@ def build_product_index(
     assert embeddings.shape[0] == n, (embeddings.shape, n)
     assert len(agg_texts) == n and len(n_reviews) == n and len(avg_stars) == n
 
-    # ---- tokenize all documents (simple_en_v1) ----
+    n_pad = pad_rows(n, pad_multiple)
+    L = doc_terms_cap
+
+    native_out = None
     if token_lists is None:
-        token_lists = [tokenize_document(t) for t in agg_texts]
-    assert len(token_lists) == n
+        try:
+            from review_recommender_tpu.native import build_postings_native
 
-    # ---- vocabulary & document frequencies ----
-    vocab: Dict[str, int] = {}
-    df_counts: List[int] = [0]  # index 0 = PAD
-    doc_term_ids: List[np.ndarray] = []
-    doc_term_tfs: List[np.ndarray] = []
-    doc_lens = np.zeros(n, dtype=np.float32)
-    truncated_docs = 0
+            native_out = build_postings_native(agg_texts, doc_terms_cap)
+        except ImportError:
+            pass  # library not built: pure-Python path below
 
-    for i, toks in enumerate(token_lists):
-        doc_lens[i] = len(toks)
-        freqs: Dict[str, int] = {}
-        for t in toks:
-            freqs[t] = freqs.get(t, 0) + 1
-        ids = np.empty(len(freqs), dtype=np.int32)
-        tfs = np.empty(len(freqs), dtype=np.float32)
-        for j, (term, cnt) in enumerate(freqs.items()):
-            tid = vocab.get(term)
-            if tid is None:
-                tid = len(vocab) + 1
-                vocab[term] = tid
-                df_counts.append(0)
-            df_counts[tid] += 1
-            ids[j] = tid
-            tfs[j] = cnt
-        # sort by tf desc so a cap keeps the highest-signal terms
-        order = np.argsort(-tfs, kind="stable")
-        if len(order) > doc_terms_cap:
-            truncated_docs += 1
-            order = order[:doc_terms_cap]
-        doc_term_ids.append(ids[order])
-        doc_term_tfs.append(tfs[order])
+    if native_out is not None:
+        # ---- native fast path: one C++ pass over the corpus ----
+        nt, ntf, doc_lens, df, vocab, truncated_docs = native_out
+        terms = np.full((n_pad, L), PAD_TERM_ID, dtype=np.int32)
+        tf = np.zeros((n_pad, L), dtype=np.float32)
+        terms[:n] = nt
+        tf[:n] = ntf
+    else:
+        # ---- pure-Python path (also used for pre-tokenized imports) ----
+        if token_lists is None:
+            token_lists = [tokenize_document(t) for t in agg_texts]
+        assert len(token_lists) == n
+
+        vocab: Dict[str, int] = {}
+        df_counts: List[int] = [0]  # index 0 = PAD
+        doc_term_ids: List[np.ndarray] = []
+        doc_term_tfs: List[np.ndarray] = []
+        doc_lens = np.zeros(n, dtype=np.float32)
+        truncated_docs = 0
+
+        for i, toks in enumerate(token_lists):
+            doc_lens[i] = len(toks)
+            freqs: Dict[str, int] = {}
+            for t in toks:
+                freqs[t] = freqs.get(t, 0) + 1
+            ids = np.empty(len(freqs), dtype=np.int32)
+            tfs = np.empty(len(freqs), dtype=np.float32)
+            for j, (term, cnt) in enumerate(freqs.items()):
+                tid = vocab.get(term)
+                if tid is None:
+                    tid = len(vocab) + 1
+                    vocab[term] = tid
+                    df_counts.append(0)
+                df_counts[tid] += 1
+                ids[j] = tid
+                tfs[j] = cnt
+            # sort by tf desc so a cap keeps the highest-signal terms
+            order = np.argsort(-tfs, kind="stable")
+            if len(order) > doc_terms_cap:
+                truncated_docs += 1
+                order = order[:doc_terms_cap]
+            doc_term_ids.append(ids[order])
+            doc_term_tfs.append(tfs[order])
+
+        df = np.asarray(df_counts, dtype=np.int32)
+        terms = np.full((n_pad, L), PAD_TERM_ID, dtype=np.int32)
+        tf = np.zeros((n_pad, L), dtype=np.float32)
+        for i in range(n):
+            m = len(doc_term_ids[i])
+            terms[i, :m] = doc_term_ids[i]
+            tf[i, :m] = doc_term_tfs[i]
 
     if truncated_docs:
         logger.warning(
@@ -122,19 +149,8 @@ def build_product_index(
             doc_terms_cap, truncated_docs, n,
         )
 
-    df = np.asarray(df_counts, dtype=np.int32)
     idf = compute_idf(df, n)
-    avgdl = float(doc_lens.mean()) if n else 0.0
-
-    # ---- pack padded device arrays ----
-    n_pad = pad_rows(n, pad_multiple)
-    L = doc_terms_cap
-    terms = np.full((n_pad, L), PAD_TERM_ID, dtype=np.int32)
-    tf = np.zeros((n_pad, L), dtype=np.float32)
-    for i in range(n):
-        m = len(doc_term_ids[i])
-        terms[i, :m] = doc_term_ids[i]
-        tf[i, :m] = doc_term_tfs[i]
+    avgdl = float(np.asarray(doc_lens).mean()) if n else 0.0
 
     emb = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
     emb[:n] = _l2_normalize_np(np.asarray(embeddings, dtype=np.float32))

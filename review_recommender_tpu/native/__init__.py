@@ -1,0 +1,174 @@
+"""ctypes bindings for the native runtime components (librrt_native.so).
+
+Build with `make -C review_recommender_tpu/native`. Everything here degrades
+gracefully: if the shared library is missing, callers (utils/text.py) use the
+pure-Python implementations with identical semantics.
+
+Parity contract: the native tokenizer is byte-level ASCII; texts containing
+non-ASCII are routed to the Python fallback by tokenize_document_native
+because Unicode lowercasing can manufacture ASCII letters (e.g. U+212A
+KELVIN SIGN lowers to 'k') that a byte scanner cannot see.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+from pathlib import Path
+from typing import List, Optional
+
+_LIB_PATH = Path(__file__).parent / "librrt_native.so"
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.rrt_tokenize.restype = ctypes.c_int64
+    lib.rrt_tokenize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.rrt_tokenize_batch.restype = ctypes.c_int64
+    lib.rrt_tokenize_batch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    import numpy as _np
+    from numpy.ctypeslib import ndpointer
+
+    lib.rrt_build_postings.restype = ctypes.c_int64
+    lib.rrt_build_postings.argtypes = [
+        ctypes.c_char_p, ndpointer(_np.int64, flags="C"), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ndpointer(_np.int32, flags="C,W"), ndpointer(_np.float32, flags="C,W"),
+        ndpointer(_np.float32, flags="C,W"), ndpointer(_np.int32, flags="C,W"),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def tokenize_document_native(text: str, cap: int = 5000) -> List[str]:
+    """Native "simple_en_v1" tokenization; raises ImportError if the library
+    is unavailable and falls back to Python for non-ASCII inputs."""
+    lib = _lib()
+    if lib is None:
+        raise ImportError("librrt_native.so not built")
+    if not text.isascii():
+        from review_recommender_tpu.utils.text import _tokenize_document_py
+
+        return _tokenize_document_py(text, cap)
+    raw = text.encode("ascii")
+    out_cap = len(raw) + 2  # tokens never exceed input length + separators
+    out = ctypes.create_string_buffer(out_cap)
+    n = lib.rrt_tokenize(raw, len(raw), out, out_cap, cap)
+    if n < 0:  # pragma: no cover - buffer sized to make this impossible
+        raise RuntimeError("native tokenizer buffer overflow")
+    if n == 0:
+        return []
+    return out.value.decode("ascii").split("\n")[: int(n)]
+
+
+def tokenize_corpus_native(texts: List[str], cap: int = 5000) -> List[List[str]]:
+    """Batch tokenization: one FFI crossing for the whole corpus (ASCII docs),
+    Python fallback per non-ASCII doc."""
+    lib = _lib()
+    if lib is None:
+        raise ImportError("librrt_native.so not built")
+
+    from review_recommender_tpu.utils.text import _tokenize_document_py
+
+    ascii_idx, blobs = [], []
+    results: List[Optional[List[str]]] = [None] * len(texts)
+    for i, t in enumerate(texts):
+        t = str(t)
+        if t.isascii():
+            ascii_idx.append(i)
+            blobs.append(t.encode("ascii"))
+        else:
+            results[i] = _tokenize_document_py(t, cap)
+
+    if ascii_idx:
+        blob = b"".join(blobs)
+        offsets = (ctypes.c_int64 * (len(blobs) + 1))()
+        pos = 0
+        for j, b in enumerate(blobs):
+            offsets[j] = pos
+            pos += len(b)
+        offsets[len(blobs)] = pos
+        out_cap = pos + 2 * len(blobs) + 16
+        out = ctypes.create_string_buffer(out_cap)
+        counts = (ctypes.c_int64 * len(blobs))()
+        total = lib.rrt_tokenize_batch(
+            blob, offsets, len(blobs), out, out_cap, cap, counts
+        )
+        if total < 0:  # pragma: no cover
+            raise RuntimeError("native tokenizer buffer overflow")
+        toks = out.value.decode("ascii").split("\n") if total else []
+        p = 0
+        for j, i in enumerate(ascii_idx):
+            c = int(counts[j])
+            results[i] = toks[p : p + c]
+            p += c
+    return results  # type: ignore[return-value]
+
+
+def build_postings_native(texts, doc_terms_cap: int, cap: int = 5000):
+    """Full postings build in one native pass: tokenize + global vocab +
+    per-doc (term id, tf) CSR packing + doc frequencies.
+
+    Returns (doc_terms (N, L) i32, doc_tf (N, L) f32, doc_len (N,) f32,
+    df (V+1,) i32, vocab {term: id}, n_truncated).
+
+    Non-ASCII documents are pre-tokenized in Python and re-joined with
+    spaces — tokens themselves are always ASCII ([a-z0-9']), so the native
+    re-scan reproduces them exactly and global vocab order is preserved.
+    """
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise ImportError("librrt_native.so not built")
+    from review_recommender_tpu.utils.text import _tokenize_document_py
+
+    blobs = []
+    for t in texts:
+        t = str(t)
+        if not t.isascii():
+            t = " ".join(_tokenize_document_py(t, cap))
+        blobs.append(t.encode("ascii"))
+
+    n = len(blobs)
+    blob = b"".join(blobs)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+
+    L = int(doc_terms_cap)
+    doc_terms = np.zeros((max(n, 1), L), np.int32)
+    doc_tf = np.zeros((max(n, 1), L), np.float32)
+    doc_len = np.zeros(max(n, 1), np.float32)
+    vocab_cap = max(len(blob) // 2 + 16, 1024)
+    df = np.zeros(vocab_cap + 1, np.int32)
+    vocab_out = ctypes.create_string_buffer(len(blob) + 16)
+    n_trunc = ctypes.c_int64(0)
+
+    v = lib.rrt_build_postings(
+        blob, offsets, n, cap, L, doc_terms, doc_tf, doc_len, df,
+        vocab_out, len(blob) + 16, vocab_cap, ctypes.byref(n_trunc),
+    )
+    if v < 0:
+        raise RuntimeError("native postings build overflow")
+    v = int(v)
+    terms = vocab_out.value.decode("ascii").split("\n")[:v] if v else []
+    vocab = {t: i + 1 for i, t in enumerate(terms)}
+    return (doc_terms[:n], doc_tf[:n], doc_len[:n], df[: v + 1].copy(),
+            vocab, int(n_trunc.value))

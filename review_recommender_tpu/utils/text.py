@@ -116,9 +116,15 @@ def _native_tokenizer():
     if not _NATIVE_CHECKED:
         _NATIVE_CHECKED = True
         try:
-            from review_recommender_tpu.native import tokenize_document_native
+            from review_recommender_tpu.native import (
+                native_available,
+                tokenize_document_native,
+            )
 
-            _NATIVE_TOKENIZER = tokenize_document_native
+            # the import succeeds even without the .so — check the lib loads
+            _NATIVE_TOKENIZER = (
+                tokenize_document_native if native_available() else None
+            )
         except Exception:
             _NATIVE_TOKENIZER = None
     return _NATIVE_TOKENIZER
