@@ -15,6 +15,7 @@ token; nothing here touches the device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Set
 
 import numpy as np
@@ -57,9 +58,12 @@ class QueryFeaturizer:
         self._vocab_ids = np.array([i for _, i in terms], dtype=np.int32)
         self._vocab_df = index.df[self._vocab_ids] if len(terms) else np.zeros(0, np.int32)
 
+    @functools.lru_cache(maxsize=65536)
     def _expand_token(self, token: str) -> np.ndarray:
         """Index-vocab term ids containing `token` as a substring, most
-        frequent (by document frequency) first, capped at gate_terms_cap."""
+        frequent (by document frequency) first, capped at gate_terms_cap.
+        LRU-cached: real query streams repeat tokens heavily and the
+        vectorized vocab scan is the single most expensive host step."""
         if len(self._vocab_terms) == 0:
             return np.zeros(0, np.int32)
         hits = np.char.find(self._vocab_terms, token) >= 0

@@ -91,11 +91,15 @@ class SearchEngine:
         self.featurizer = QueryFeaturizer(
             self.products, query_terms_cap=config.QUERY_TERMS_CAP
         )
+        self._pallas_usable = None  # resolved lazily by _pallas_ok()
 
         self._stage_a = jax.jit(self._stage_a_impl, static_argnames=("pool",))
         self._stage_b = jax.jit(self._stage_b_impl, static_argnames=("k",))
         self._snippet_scores = jax.jit(self._snippet_scores_impl)
         self._fused = jax.jit(self._fused_impl, static_argnames=("pool", "k"))
+        self._fused_batch = jax.jit(
+            self._fused_batch_impl, static_argnames=("pool", "k")
+        )
 
     # ------------------------------------------------------------------ jit A
     def _stage_a_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid, *, pool):
@@ -172,6 +176,36 @@ class SearchEngine:
         )
         scores, pos = final_topk(res, k)
         return jnp.take(st["idx"], pos), scores, res, pos
+
+    # ------------------------------------------------------------ batched fused
+    def _fused_batch_impl(self, qvecs, q_terms, q_idf, gp_mask, gt_ids,
+                          g_valid, w, use_snips, *, pool, k):
+        """vmap of the fused query over the batch axis. XLA turns the B
+        vmapped (N, D) @ (D,) products into ONE (N, D) @ (D, B) matmul, so
+        the MXU amortizes the HBM sweep of the corpus across the batch —
+        the reference's architecture (one pandas pass per query) cannot do
+        this at all."""
+        f = functools.partial(self._fused_impl, pool=pool, k=k)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            qvecs, q_terms, q_idf, gp_mask, gt_ids, g_valid, w, use_snips
+        )
+
+    def query_fused_batched(self, qvecs, queries: List[str], w: FusionWeights,
+                            pool: int, k: int, use_snips: bool = False):
+        """Batched single-program hybrid search (no rerank): qvecs (B, D),
+        B query strings -> (row ids (B, k), scores (B, k))."""
+        feats = [self.featurizer.featurize(q) for q in queries]
+        stack = lambda name: jnp.asarray(
+            np.stack([getattr(f, name) for f in feats])
+        )
+        rows, scores, _res, _pos = self._fused_batch(
+            jnp.asarray(np.asarray(qvecs, np.float32)),
+            stack("q_terms"), stack("q_idf"), stack("group_phrase_mask"),
+            stack("group_term_ids"), stack("group_valid"),
+            w, jnp.bool_(use_snips),
+            pool=min(pool, self.products.n_padded), k=k,
+        )
+        return rows, scores
 
     # ------------------------------------------------------------------ public
     def encode_query(self, query: str) -> np.ndarray:
@@ -352,6 +386,55 @@ class SearchEngine:
                 "stars": float(self.reviews.rev_stars[int(ridx[j])]),
             }
         return out
+
+    # ------------------------------------------------- standalone retrieval
+    def search_dense(self, qvec, k: int):
+        """Pure dense retrieval (BASELINE config 1): (row ids, scores)."""
+        scores, idx = dense_topk(
+            self.arrays["emb"], jnp.asarray(qvec, jnp.float32),
+            self.arrays["valid"], min(int(k), self.products.n_padded),
+        )
+        return idx, scores
+
+    def search_bm25(self, query: str, k: int):
+        """TRUE sparse retrieval over the full corpus (BASELINE config 2).
+
+        The reference's 'BM25 Only' mode still draws candidates from the
+        dense pool (evals/test_queries.py config + app:253-264); this scores
+        every document's postings. Uses the single-pass Pallas kernel on
+        TPU (ops/pallas/bm25_kernel.py), the XLA scan elsewhere."""
+        from review_recommender_tpu.ops.bm25 import bm25_topk
+
+        qf = self.featurizer.featurize(query)
+        a = self.arrays
+        args = (a["doc_terms"], a["doc_tf"], a["doc_len"], a["valid"],
+                jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf), self.avgdl)
+        kk = min(int(k), self.products.n_padded)
+        if self._pallas_ok():
+            from review_recommender_tpu.ops.pallas import bm25_topk_pallas
+
+            scores, idx = bm25_topk_pallas(*args, k=kk)
+        else:
+            scores, idx = bm25_topk(*args, k=kk)
+        return idx, scores
+
+    def _pallas_ok(self) -> bool:
+        """Pallas kernels: enabled + TPU backend + tile-aligned corpus."""
+        if self._pallas_usable is None:
+            usable = False
+            if config.USE_PALLAS:
+                try:
+                    from review_recommender_tpu.ops.pallas.bm25_kernel import TILE_N
+
+                    plat = jax.devices()[0].platform.lower()
+                    usable = (
+                        self.products.n_padded % TILE_N == 0
+                        and plat not in ("cpu", "gpu")
+                    )
+                except Exception:
+                    usable = False
+            self._pallas_usable = usable
+        return self._pallas_usable
 
     # ------------------------------------------------------------- fused query
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,

@@ -44,9 +44,12 @@ class SearchService:
     holds the GIL only briefly; one engine serves all handler threads)."""
 
     def __init__(self, engine):
+        from review_recommender_tpu.utils.profiling import LatencyStats
+
         self.engine = engine
         self.ready = False
         self.stats = {"requests": 0, "errors": 0, "total_ms": 0.0}
+        self.latency = LatencyStats()
         self._lock = threading.Lock()
 
     def warmup(self, qvec_dim: Optional[int] = None) -> None:
@@ -65,7 +68,9 @@ class SearchService:
             kwargs["qvec"] = np.asarray(payload["qvec"], dtype=np.float32)
         t0 = time.perf_counter()
         df, snips, debug = self.engine.run_search(query, **kwargs)
-        took = (time.perf_counter() - t0) * 1e3
+        took_s = time.perf_counter() - t0
+        took = took_s * 1e3
+        self.latency.record(took_s)
         with self._lock:
             self.stats["requests"] += 1
             self.stats["total_ms"] += took
@@ -88,6 +93,7 @@ class SearchService:
             "emb_dtype": str(self.engine.dtype.__name__ if hasattr(self.engine.dtype, "__name__") else self.engine.dtype),
             "ready": self.ready,
             "stats": dict(self.stats),
+            "latency": self.latency.summary(),
         }
 
 

@@ -1,0 +1,56 @@
+"""Batched fused-query path: parity with the single-query path.
+
+On CPU the two paths are numerically identical; on TPU hardware the batched
+matmul takes a different MXU path than the single matvec and scores can
+drift ~1e-3 (near-tie ranks may swap) — the tolerance here reflects the CPU
+test environment.
+"""
+import numpy as np
+import pytest
+
+from review_recommender_tpu.engine.search import SearchEngine
+from review_recommender_tpu.index.build import build_bundle_from_products
+from review_recommender_tpu.ops.fusion import FusionWeights
+from tests.test_engine_parity import make_corpus
+
+
+@pytest.fixture(scope="module")
+def engine():
+    products, emb, _r, _re = make_corpus(n=64, dim=32, seed=13)
+    bundle = build_bundle_from_products(
+        products, emb, pad_multiple=16, doc_terms_cap=64
+    )
+    return SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+
+
+def test_batched_matches_single(engine):
+    rng = np.random.default_rng(0)
+    queries = ["yellow cat socks", "wireless headphones", "kitchen knife",
+               "running shoes"]
+    qvecs = rng.standard_normal((4, 32)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_prior=0.2,
+                           min_reviews=5, gate_penalty=0.5)
+
+    rb, sb = engine.query_fused_batched(qvecs, queries, w, pool=48, k=10)
+    rb, sb = np.asarray(rb), np.asarray(sb)
+    assert rb.shape == (4, 10) and sb.shape == (4, 10)
+
+    for i, q in enumerate(queries):
+        r1, s1 = engine.query_fused(qvecs[i], q, w, pool=48, k=10)
+        np.testing.assert_allclose(sb[i], np.asarray(s1), rtol=1e-4, atol=1e-5)
+        s1 = np.asarray(s1)
+        for j, (a, b) in enumerate(zip(np.asarray(r1), rb[i])):
+            if a != b:  # rank swap only between near-ties
+                assert abs(s1[j] - sb[i][j]) < 1e-3
+
+
+def test_batched_sorted_and_valid(engine):
+    rng = np.random.default_rng(1)
+    qvecs = rng.standard_normal((2, 32)).astype(np.float32)
+    rb, sb = engine.query_fused_batched(
+        qvecs, ["a b", "c d"], FusionWeights.make(), pool=32, k=8
+    )
+    sb = np.asarray(sb)
+    assert (np.diff(sb, axis=1) <= 1e-9).all()
+    assert (np.asarray(rb) < 64).all() and (np.asarray(rb) >= 0).all()
