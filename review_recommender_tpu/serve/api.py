@@ -8,12 +8,17 @@ first user query is fast — unlike the reference, which lazy-loads models on
 first search.
 
 Endpoints:
+  GET  /                  built-in web UI (serve/ui.py — the reference's
+                          Streamlit tabs rebuilt as one static page)
   GET  /healthz           liveness: {"status": "ok"}  (Docker HEALTHCHECK)
   GET  /readyz            readiness: index + encoder loaded, warmup done
-  GET  /debug/info        corpus stats, mesh, dtype, compiled programs
+  GET  /debug/info        corpus stats, rolling latency percentiles
   POST /search            {"query": "...", "k": 10, ...engine knobs...}
                           -> {"results": [...], "snippets": {...},
                               "debug": {...}, "took_ms": float}
+  POST /eval              {"queries": [{"query", "relevant_skus"}...],
+                           ...engine knobs...} -> IR metrics (the
+                          reference's BYO-dev-set Metrics tab, app:434-474)
 
 Search parameters accept exactly the run_search surface
 (app/app_product_search.py:245-248 parity).
@@ -81,6 +86,28 @@ class SearchService:
             "took_ms": round(took, 3),
         }
 
+    def evaluate(self, payload: dict) -> dict:
+        """BYO dev-set eval: run the engine over judged queries."""
+        from review_recommender_tpu.evals.metrics import IRMetrics
+
+        queries = payload.get("queries") or []
+        if not queries:
+            raise ValueError("missing 'queries'")
+        kwargs = {k: payload[k] for k in SEARCH_KNOBS if k in payload}
+        metrics = IRMetrics()
+        for q in queries:
+            if "query" not in q:
+                raise ValueError("each entry needs a 'query'")
+            df, _s, _d = self.engine.run_search(q["query"], **kwargs)
+            metrics.evaluate_query(
+                q.get("id", q["query"]), df["sku"].tolist(),
+                set(q.get("relevant_skus", [])),
+            )
+        return {
+            "aggregate": metrics.aggregate_metrics(),
+            "per_query": metrics.rows,
+        }
+
     def info(self) -> dict:
         p = self.engine.products
         return {
@@ -110,7 +137,16 @@ def make_handler(service: SearchService):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib API)
-            if self.path == "/healthz":
+            if self.path in ("/", "/index.html"):
+                from review_recommender_tpu.serve.ui import PAGE
+
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
                 self._send(200, {"status": "ok"})
             elif self.path == "/readyz":
                 code = 200 if service.ready else 503
@@ -121,13 +157,15 @@ def make_handler(service: SearchService):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
+            if self.path not in ("/search", "/eval"):
                 self._send(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                self._send(200, service.search(payload))
+                handler = (service.search if self.path == "/search"
+                           else service.evaluate)
+                self._send(200, handler(payload))
             except ValueError as e:
                 service.stats["errors"] += 1
                 self._send(400, {"error": str(e)})

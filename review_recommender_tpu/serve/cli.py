@@ -27,22 +27,29 @@ from review_recommender_tpu.config import config
 
 
 def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
-                 with_models: bool = True):
+                 with_models: bool = True, with_rerank: bool = False):
     from review_recommender_tpu.engine.search import SearchEngine
     from review_recommender_tpu.index.io import load_bundle
 
     bundle = load_bundle(index_dir)
     encoder = None
+    cross = None
     if with_models:
         from review_recommender_tpu.models.encoder import BiEncoder
 
         # dim-matched random tower; converted checkpoint weights plug in here
         encoder = BiEncoder.random_for_dim(bundle.products.dim)
-    return SearchEngine(bundle, query_encoder=encoder, gate_mode=gate_mode)
+    if with_rerank and config.ENABLE_RERANKING:
+        from review_recommender_tpu.models.encoder import CrossEncoder
+
+        cross = CrossEncoder.random_init()
+    return SearchEngine(bundle, query_encoder=encoder, cross_encoder=cross,
+                        gate_mode=gate_mode)
 
 
 def cmd_search(args) -> int:
-    engine = _load_engine(args.index_dir, args.gate_mode)
+    engine = _load_engine(args.index_dir, args.gate_mode,
+                          with_rerank=args.rerank_k > 0)
     t0 = time.perf_counter()
     df, snips, debug = engine.run_search(
         args.query, k=args.k, rerank_k=args.rerank_k,
@@ -71,7 +78,9 @@ def cmd_search(args) -> int:
 def cmd_serve(args) -> int:
     from review_recommender_tpu.serve.api import serve
 
-    engine = _load_engine(args.index_dir, args.gate_mode)
+    config.setup_logging()
+    engine = _load_engine(args.index_dir, args.gate_mode,
+                          with_rerank=args.with_rerank)
     srv = serve(engine, host=args.host, port=args.port, warmup_async=True)
     print(f"serving on http://{args.host}:{args.port} "
           f"(docs={engine.products.n_docs}); warming up in background",
@@ -164,6 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--host", default=c.APP_HOST)
     v.add_argument("--port", type=int, default=c.APP_PORT)
     v.add_argument("--gate-mode", default=None)
+    v.add_argument("--with-rerank", action="store_true",
+                   help="load the cross-encoder for rerank_k>0 requests")
     v.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser("audit", help="validate index artifacts")

@@ -94,6 +94,37 @@ class TestHTTP:
         assert code == 200
         assert body["n_docs"] == 24
         assert body["stats"]["requests"] >= 1
+        assert "latency" in body
+
+    def test_ui_page(self, server):
+        import urllib.request
+
+        with urllib.request.urlopen(server + "/", timeout=10) as r:
+            html = r.read().decode()
+        assert r.status == 200
+        assert "Review Search Copilot" in html
+        for knob in ("w_dense", "w_bm25", "gate_penalty", "rerank_k"):
+            assert knob in html
+
+    def test_eval_endpoint(self, server):
+        code, body = _post(server + "/eval", {
+            "queries": [
+                {"id": "q1", "query": "wireless headphones",
+                 "relevant_skus": ["SKU0001"]},
+                {"id": "q2", "query": "yellow socks",
+                 "relevant_skus": ["SKU0002", "SKU0003"]},
+            ],
+            "k": 10, "rerank_k": 0,
+        })
+        assert code == 200
+        agg = body["aggregate"]
+        assert agg["n_queries"] == 2
+        assert 0.0 <= agg["mrr"] <= 1.0
+        assert len(body["per_query"]) == 2
+
+    def test_eval_missing_queries_400(self, server):
+        code, body = _post(server + "/eval", {})
+        assert code == 400 and "error" in body
 
 
 class TestAudit:
