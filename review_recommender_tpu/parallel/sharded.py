@@ -276,7 +276,49 @@ class ShardedSearchEngine:
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
+    def _get_fused_batch(self, batch: int, pool: int, k: int):
+        key = ("fused_batch", batch, pool, k)
+        if key not in self._compiled:
+            ax = self.axis
+            sh, rep = P(ax), P()
+            a_specs = {n: sh for n in self.arrays}
+            rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
+
+            def body(a, rev, qvecs, q_terms, q_idf, gp, gt, gv, w, snips):
+                # vmap the per-device block over the (replicated) batch axis
+                per_q = functools.partial(self._fused_block, pool=pool, k=k)
+                return jax.vmap(
+                    lambda qv, t, i, m, g, v: per_q(a, rev, qv, t, i, m, g, v,
+                                                    w, snips)
+                )(qvecs, q_terms, q_idf, gp, gt, gv)
+
+            in_specs = (a_specs, rev_specs, rep, rep, rep, rep, rep, rep,
+                        jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
+            fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=(rep, rep), check_vma=False)
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
     # ----------------------------------------------------------------- public
+    def query_fused_batched(self, qvecs, queries, w: FusionWeights, pool: int,
+                            k: int, use_snips: bool = False):
+        """Batched sharded search: qvecs (B, D), B query strings ->
+        (row ids (B, k), scores (B, k)). The corpus stays sharded over the
+        mesh; the batch is replicated, so each chip does one
+        (N/n, D) x (D, B) matmul and the merge allgathers B x pool pairs."""
+        feats = [self.featurizer.featurize(q) for q in queries]
+        stack = lambda name: jnp.asarray(
+            np.stack([getattr(f, name) for f in feats])
+        )
+        fn = self._get_fused_batch(len(feats), pool, k)
+        return fn(
+            self.arrays, self.rev_arrays,
+            jnp.asarray(np.asarray(qvecs, np.float32)),
+            stack("q_terms"), stack("q_idf"), stack("group_phrase_mask"),
+            stack("group_term_ids"), stack("group_valid"),
+            w, jnp.bool_(use_snips),
+        )
+
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
                     use_snips: bool = False):
         """Returns (corpus row ids (k,), final scores (k,)) — same contract as

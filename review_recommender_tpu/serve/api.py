@@ -57,12 +57,22 @@ class SearchService:
         self.latency = LatencyStats()
         self._lock = threading.Lock()
 
+    WARMUP_KS = (5, 10, 20)  # common top-k values; each k is its own program
+
     def warmup(self, qvec_dim: Optional[int] = None) -> None:
+        """Compile the query programs for the common k values so no user
+        request pays a first-compile (each distinct k is a distinct XLA
+        program shape)."""
         dim = qvec_dim or self.engine.products.dim
         qvec = np.zeros(dim, np.float32)
         qvec[0] = 1.0
-        self.engine.run_search("warmup query", qvec=qvec, k=5, rerank_k=0)
+        ks = sorted(set(self.WARMUP_KS) | {int(self.engine_default_k())})
+        for k in ks:
+            self.engine.run_search("warmup query", qvec=qvec, k=k, rerank_k=0)
         self.ready = True
+
+    def engine_default_k(self) -> int:
+        return config.DEFAULT_K
 
     def search(self, payload: dict) -> dict:
         query = payload.get("query", "")

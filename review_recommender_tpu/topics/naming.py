@@ -125,6 +125,47 @@ def map_label_to_aspect(label: str) -> str:
     return "other"
 
 
+def classify_aspects_llm(
+    topics: Dict[int, dict],  # topic_id -> {"label", "quotes": [...]}
+    voter: Callable[[dict], str],
+    votes: int = 3,
+    cache_path: Optional[str | Path] = None,
+    taxonomy: Optional[Sequence[str]] = None,
+) -> Dict[int, str]:
+    """LLM aspect classification by majority vote (archive
+    07_aspect_ollama.py:22-70 semantics: N votes per topic over the 8-aspect
+    taxonomy, JSON-cache resume). `voter(topic) -> aspect` is any callable —
+    an LLM client in production; out-of-taxonomy answers fall back to the
+    rule-based mapping of the topic label."""
+    taxonomy = list(taxonomy or list(ASPECT_RULES) + ["other"])
+    cache: Dict[str, str] = {}
+    if cache_path and Path(cache_path).exists():
+        cache = json.loads(Path(cache_path).read_text())
+    out: Dict[int, str] = {}
+    for t, topic in sorted(topics.items()):
+        key = str(t)
+        if key in cache:
+            out[t] = cache[key]
+            continue
+        tally: Dict[str, int] = {}
+        for _ in range(votes):
+            try:
+                a = str(voter(dict(topic))).strip().lower()
+            except Exception as e:
+                logger.warning("aspect voter failed for topic %d: %s", t, e)
+                continue
+            if a in taxonomy:
+                tally[a] = tally.get(a, 0) + 1
+        if tally:
+            out[t] = max(tally.items(), key=lambda kv: kv[1])[0]
+        else:
+            out[t] = map_label_to_aspect(topic.get("label", ""))
+        cache[key] = out[t]
+        if cache_path:
+            Path(cache_path).write_text(json.dumps(cache, indent=0))
+    return out
+
+
 def aspect_metrics(
     topic_ids: Sequence[int],
     stars: Sequence[float],

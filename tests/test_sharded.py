@@ -107,6 +107,21 @@ class TestFusedSharded:
             if a != b:
                 assert abs(ss[i] - sm[i]) < 1e-4
 
+    def test_batched_matches_single_query_sharded(self, sharded):
+        rng = np.random.default_rng(41)
+        queries = ["yellow cat socks", "kitchen knife"]
+        qvecs = rng.standard_normal((2, 64)).astype(np.float32)
+        qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+        w = FusionWeights.make(w_dense=0.6, w_bm25=0.3, w_prior=0.1,
+                               min_reviews=5, gate_penalty=0.5)
+        rb, sb = sharded.query_fused_batched(qvecs, queries, w, pool=32, k=8)
+        rb, sb = np.asarray(rb), np.asarray(sb)
+        assert rb.shape == (2, 8)
+        for i, q in enumerate(queries):
+            r1, s1 = sharded.query_fused(qvecs[i], q, w, pool=32, k=8)
+            np.testing.assert_allclose(sb[i], np.asarray(s1), rtol=1e-5,
+                                       atol=1e-6)
+
     def test_snippet_signal(self, single, sharded):
         q = _qvec(31)
         w = FusionWeights.make(
