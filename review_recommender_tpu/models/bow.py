@@ -1,0 +1,79 @@
+"""Deterministic lightweight text scorers: random-projection bag-of-words
+encoder and a lexical overlap cross-scorer.
+
+These are real (if simple) text models, not mocks: the BoW encoder embeds a
+text as the L2-normalized sum of fixed random vectors assigned to its
+tokens, so texts sharing vocabulary land near each other — good enough to
+exercise and *evaluate* the full retrieval stack (dense signal included)
+in environments with no pretrained weights (zero-egress CI, demos, the
+quality-table example). They also serve as the graceful-degradation tier:
+the engine stays useful if checkpoint conversion hasn't happened yet.
+
+Both plug into the SearchEngine hooks (`query_encoder`, `cross_encoder`)
+exactly like the transformer towers in models/encoder.py.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from review_recommender_tpu.models.tokenizer import HashTokenizer
+
+
+class BowProjectionEncoder:
+    """text -> L2-normalized sum of per-token random projections.
+
+    Deterministic in (vocab_size, dim, seed). Token weighting is sublinear
+    (sqrt of count) so long documents don't drown in their frequent terms.
+    """
+
+    def __init__(self, dim: int = 384, vocab_size: int = 30522, seed: int = 0,
+                 tokenizer=None):
+        self.dim = dim
+        self.tokenizer = tokenizer or HashTokenizer(vocab_size)
+        rng = np.random.default_rng(seed)
+        self._proj = rng.standard_normal((vocab_size, dim)).astype(np.float32)
+        self._proj /= np.linalg.norm(self._proj, axis=1, keepdims=True)
+
+    def encode(self, texts: Sequence[str], batch_size: int = 0) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            ids = self.tokenizer.token_ids(str(t))
+            if not ids:
+                out[i, 0] = 1.0
+                continue
+            uniq, counts = np.unique(ids, return_counts=True)
+            vec = (np.sqrt(counts.astype(np.float32))[:, None]
+                   * self._proj[uniq]).sum(axis=0)
+            n = np.linalg.norm(vec)
+            out[i] = vec / max(n, 1e-12)
+        return out
+
+    def __call__(self, text: str) -> np.ndarray:
+        return self.encode([text])[0]
+
+
+class OverlapCrossScorer:
+    """(query, doc) relevance by token-level F1 overlap — a deterministic
+    cross-encoder stand-in with the right signature."""
+
+    def __init__(self, tokenizer=None, doc_prefix_chars: int = 2000):
+        self.tokenizer = tokenizer or HashTokenizer()
+        self.doc_prefix_chars = doc_prefix_chars
+
+    def score_pairs(self, queries: Sequence[str], docs: Sequence[str]) -> np.ndarray:
+        out = np.zeros(len(docs), np.float32)
+        for i, (q, d) in enumerate(zip(queries, docs)):
+            qs = set(self.tokenizer.tokenize(str(q)))
+            ds = set(self.tokenizer.tokenize(str(d)[: self.doc_prefix_chars]))
+            if not qs or not ds:
+                continue
+            inter = len(qs & ds)
+            if inter:
+                p, r = inter / len(ds), inter / len(qs)
+                out[i] = 2 * p * r / (p + r)
+        return out
+
+    def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
+        return self.score_pairs([query] * len(texts), texts)
