@@ -37,6 +37,11 @@ class Config:
     # Model configuration (HF ids; weights converted to JAX when available)
     EMB_MODEL = os.getenv("EMB_MODEL", "BAAI/bge-small-en-v1.5")
     RERANK_MODEL = os.getenv("RERANK_MODEL", "cross-encoder/ms-marco-MiniLM-L-6-v2")
+    # Local HF snapshot directories (config.json + weights + vocab.txt).
+    # When set, serving loads REAL converted weights (models/load.py);
+    # otherwise a dim-matched random tower stands in.
+    EMB_MODEL_DIR = os.getenv("EMB_MODEL_DIR", "")
+    RERANK_MODEL_DIR = os.getenv("RERANK_MODEL_DIR", "")
 
     # Application configuration
     APP_HOST = os.getenv("APP_HOST", "0.0.0.0")

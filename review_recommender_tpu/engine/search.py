@@ -237,7 +237,15 @@ class SearchEngine:
         qvec: Optional[np.ndarray] = None,
     ):
         """Hybrid search. Returns (DataFrame, snippets, debug) like the
-        reference run_search (app/app_product_search.py:245-317)."""
+        reference run_search (app/app_product_search.py:245-317).
+
+        Deliberate deviation: `max_scan` is accepted but not used to
+        truncate the snippet scan. The reference caps scanned review rows at
+        max_scan (default 300k) because its numpy path is CPU-bound
+        (app:320-346); the device segment-max reads ALL review embeddings in
+        one HBM sweep at a fraction of the reference's per-row cost, so
+        truncating would only lose recall. Set use_snips=False to skip the
+        signal entirely."""
         c = config
         k = c.DEFAULT_K if k is None else int(k)
         rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)

@@ -35,14 +35,24 @@ def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
     encoder = None
     cross = None
     if with_models:
-        from review_recommender_tpu.models.encoder import BiEncoder
+        if config.EMB_MODEL_DIR:
+            from review_recommender_tpu.models.load import load_biencoder
 
-        # dim-matched random tower; converted checkpoint weights plug in here
-        encoder = BiEncoder.random_for_dim(bundle.products.dim)
+            encoder = load_biencoder(config.EMB_MODEL_DIR)
+        else:
+            from review_recommender_tpu.models.encoder import BiEncoder
+
+            # dim-matched random stand-in (set EMB_MODEL_DIR for real weights)
+            encoder = BiEncoder.random_for_dim(bundle.products.dim)
     if with_rerank and config.ENABLE_RERANKING:
-        from review_recommender_tpu.models.encoder import CrossEncoder
+        if config.RERANK_MODEL_DIR:
+            from review_recommender_tpu.models.load import load_crossencoder
 
-        cross = CrossEncoder.random_init()
+            cross = load_crossencoder(config.RERANK_MODEL_DIR)
+        else:
+            from review_recommender_tpu.models.encoder import CrossEncoder
+
+            cross = CrossEncoder.random_init()
     return SearchEngine(bundle, query_encoder=encoder, cross_encoder=cross,
                         gate_mode=gate_mode)
 
