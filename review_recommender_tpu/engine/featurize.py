@@ -41,6 +41,44 @@ class QueryFeatures:
     tokens: List[str]
     groups: List[Set[str]]  # host groups for exact-gate mode / debug
 
+    def pack(self) -> np.ndarray:
+        """All integer/bool features flattened into ONE f32 vector so a
+        query costs a single host->device transfer (each small transfer to
+        a tunneled TPU has ~1 ms latency). Term ids are exact in f32
+        (vocab ids are far below 2^24); unpack_features() inverts on
+        device."""
+        return np.concatenate([
+            self.q_terms.astype(np.float32),
+            self.q_idf,
+            self.group_phrase_mask.astype(np.float32).ravel(),
+            self.group_term_ids.astype(np.float32).ravel(),
+            self.group_valid.astype(np.float32),
+        ])
+
+
+def packed_len(query_terms_cap: int, gate_terms_cap: int) -> int:
+    g = len(GATE_PHRASES)
+    return (2 * query_terms_cap + GROUPS_CAP * g
+            + GROUPS_CAP * gate_terms_cap + GROUPS_CAP)
+
+
+def unpack_features(packed, query_terms_cap: int, gate_terms_cap: int):
+    """Device-side inverse of QueryFeatures.pack (jnp ops, jit-safe).
+    Returns (q_terms i32, q_idf f32, gp_mask bool, gt_ids i32, g_valid bool).
+    """
+    import jax.numpy as jnp
+
+    q = query_terms_cap
+    g = len(GATE_PHRASES)
+    t = gate_terms_cap
+    off = 0
+    q_terms = packed[off : off + q].astype(jnp.int32); off += q
+    q_idf = packed[off : off + q]; off += q
+    gp = packed[off : off + GROUPS_CAP * g].reshape(GROUPS_CAP, g) > 0; off += GROUPS_CAP * g
+    gt = packed[off : off + GROUPS_CAP * t].reshape(GROUPS_CAP, t).astype(jnp.int32); off += GROUPS_CAP * t
+    gv = packed[off : off + GROUPS_CAP] > 0
+    return q_terms, q_idf, gp, gt, gv
+
 
 class QueryFeaturizer:
     def __init__(

@@ -100,6 +100,12 @@ class SearchEngine:
         self._fused_batch = jax.jit(
             self._fused_batch_impl, static_argnames=("pool", "k")
         )
+        self._fused_packed = jax.jit(
+            self._fused_packed_impl, static_argnames=("pool", "k")
+        )
+        self._fused_packed_batch = jax.jit(
+            self._fused_packed_batch_impl, static_argnames=("pool", "k")
+        )
 
     # ------------------------------------------------------------------ jit A
     def _stage_a_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid, *, pool):
@@ -177,6 +183,27 @@ class SearchEngine:
         scores, pos = final_topk(res, k)
         return jnp.take(st["idx"], pos), scores, res, pos
 
+    # ------------------------------------------------------------- packed entry
+    def _unpack(self, packed):
+        from review_recommender_tpu.engine.featurize import unpack_features
+
+        return unpack_features(
+            packed, self.featurizer.query_terms_cap,
+            self.featurizer.gate_terms_cap,
+        )
+
+    def _fused_packed_impl(self, qvec, packed, w, use_snips, *, pool, k):
+        """query_fused with features in ONE packed buffer: a query costs two
+        host->device transfers (qvec + features) instead of seven."""
+        return self._fused_impl(qvec, *self._unpack(packed), w, use_snips,
+                                pool=pool, k=k)
+
+    def _fused_packed_batch_impl(self, qvecs, packed, w, use_snips, *, pool, k):
+        f = functools.partial(self._fused_packed_impl, pool=pool, k=k)
+        return jax.vmap(f, in_axes=(0, 0, None, None))(
+            qvecs, packed, w, use_snips
+        )
+
     # ------------------------------------------------------------ batched fused
     def _fused_batch_impl(self, qvecs, q_terms, q_idf, gp_mask, gt_ids,
                           g_valid, w, use_snips, *, pool, k):
@@ -194,14 +221,12 @@ class SearchEngine:
                             pool: int, k: int, use_snips: bool = False):
         """Batched single-program hybrid search (no rerank): qvecs (B, D),
         B query strings -> (row ids (B, k), scores (B, k))."""
-        feats = [self.featurizer.featurize(q) for q in queries]
-        stack = lambda name: jnp.asarray(
-            np.stack([getattr(f, name) for f in feats])
+        packed = np.stack(
+            [self.featurizer.featurize(q).pack() for q in queries]
         )
-        rows, scores, _res, _pos = self._fused_batch(
+        rows, scores, _res, _pos = self._fused_packed_batch(
             jnp.asarray(np.asarray(qvecs, np.float32)),
-            stack("q_terms"), stack("q_idf"), stack("group_phrase_mask"),
-            stack("group_term_ids"), stack("group_valid"),
+            jnp.asarray(packed),
             w, jnp.bool_(use_snips),
             pool=min(pool, self.products.n_padded), k=k,
         )
@@ -448,13 +473,12 @@ class SearchEngine:
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
                     use_snips: bool = False):
         """Single-compiled-program query (no rerank): returns
-        (corpus row ids (k,), final scores (k,))."""
-        qf = self.featurizer.featurize(query)
-        rows, scores, _res, _pos = self._fused(
+        (corpus row ids (k,), final scores (k,)). Features travel in one
+        packed buffer — two transfers per query total."""
+        packed = self.featurizer.featurize(query).pack()
+        rows, scores, _res, _pos = self._fused_packed(
             jnp.asarray(qvec, jnp.float32),
-            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
-            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
-            jnp.asarray(qf.group_valid),
+            jnp.asarray(packed),
             w, jnp.bool_(use_snips),
             pool=min(pool, self.products.n_padded), k=k,
         )
