@@ -123,10 +123,16 @@ class BertLayer(nn.Module):
 
 
 class BertEncoder(nn.Module):
-    """Token ids -> per-token hidden states (B, S, H)."""
+    """Token ids -> per-token hidden states (B, S, H).
+
+    remat=True wraps each layer in jax.checkpoint: activations are
+    recomputed in the backward pass instead of stored, cutting training
+    activation memory from O(layers) to O(1) layers — the standard TPU
+    trade of FLOPs for HBM when fine-tuning with big batches."""
 
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -155,8 +161,9 @@ class BertEncoder(nn.Module):
             attention_mask[:, None, None, :].astype(bool), 0.0, -1e30
         ).astype(jnp.float32)
 
+        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(c.num_layers):
-            x = BertLayer(c, self.dtype, name=f"layer_{i}")(x, attn_bias)
+            x = layer_cls(c, self.dtype, name=f"layer_{i}")(x, attn_bias)
         return x
 
 
@@ -168,10 +175,12 @@ class BiEncoderModel(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
     pooling: str = "cls"  # "cls" | "mean"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
-        hidden = BertEncoder(self.cfg, self.dtype, name="encoder")(
+        hidden = BertEncoder(self.cfg, self.dtype, remat=self.remat,
+                             name="encoder")(
             input_ids, attention_mask, token_type_ids
         ).astype(jnp.float32)
         if self.pooling == "cls":

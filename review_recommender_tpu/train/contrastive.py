@@ -46,6 +46,7 @@ class TrainConfig:
     weight_decay: float = 0.01
     temperature: float = 0.05  # bge-style InfoNCE temperature
     max_grad_norm: float = 1.0
+    remat: bool = False  # jax.checkpoint per layer: trade FLOPs for HBM
     seed: int = 0
 
 
@@ -100,7 +101,8 @@ class ContrastiveTrainer:
     ):
         self.cfg = cfg
         self.tc = train_cfg or TrainConfig()
-        self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling)
+        self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling,
+                                    remat=self.tc.remat)
         self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),

@@ -72,6 +72,21 @@ def test_sharded_step_matches_unsharded(setup):
     assert m_m["loss"] == pytest.approx(m_1["loss"], rel=1e-4)
 
 
+def test_remat_matches_no_remat(setup):
+    cfg, params, batch = setup
+    tr_a = ContrastiveTrainer(cfg, params, dtype=jnp.float32,
+                              train_cfg=TrainConfig(remat=False))
+    tr_b = ContrastiveTrainer(cfg, params, dtype=jnp.float32,
+                              train_cfg=TrainConfig(remat=True))
+    m_a = tr_a.train_step(*batch)
+    m_b = tr_b.train_step(*batch)
+    assert m_b["loss"] == pytest.approx(m_a["loss"], rel=1e-5)
+    # params updated identically (rematerialization changes memory, not math)
+    la = jax.tree.leaves(tr_a.params)[0]
+    lb = jax.tree.leaves(tr_b.params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     cfg, params, batch = setup
     tr = ContrastiveTrainer(cfg, params, dtype=jnp.float32)
