@@ -92,6 +92,8 @@ class SearchEngine:
             self.products, query_terms_cap=config.QUERY_TERMS_CAP
         )
         self._pallas_usable = None  # resolved lazily by _pallas_ok()
+        self._be = None  # JAX towers for query_e2e (attach_models)
+        self._ce = None
 
         self._stage_a = jax.jit(self._stage_a_impl, static_argnames=("pool",))
         self._stage_b = jax.jit(self._stage_b_impl, static_argnames=("k",))
@@ -182,6 +184,125 @@ class SearchEngine:
         )
         scores, pos = final_topk(res, k)
         return jnp.take(st["idx"], pos), scores, res, pos
+
+    # --------------------------------------------------- fully on-device e2e
+    def attach_models(self, biencoder, crossencoder=None):
+        """Attach JAX towers for query_e2e: the WHOLE query — bi-encoder
+        forward, dense+BM25 retrieval, on-device cross-encoder rerank over
+        pre-tokenized doc tokens (index/build.py:attach_rerank_tokens),
+        fusion, top-k — compiles into ONE XLA program with zero host round
+        trips after tokenization. Also wires the host-path hooks so
+        run_search uses the same towers."""
+        self._be = biencoder
+        self._ce = crossencoder
+        if self.query_encoder is None:
+            self.query_encoder = biencoder
+        if self.cross_encoder is None and crossencoder is not None:
+            self.cross_encoder = crossencoder
+        self._e2e = jax.jit(
+            self._e2e_impl, static_argnames=("pool", "k", "rr_k")
+        )
+
+    def _build_pairs(self, q_raw, q_len, d_tok, d_len):
+        """Device-side [CLS] q [SEP] d [SEP] pair assembly with exact HF
+        layout (no gaps: dynamic_update_slice at the true query length)."""
+        be_tok = self._be.tokenizer
+        cls_id, sep_id = be_tok.cls_id, be_tok.sep_id
+        Lq = q_raw.shape[0]
+        Sd = d_tok.shape[1]
+        W = Lq + Sd + 3
+
+        pos = jnp.arange(W)
+        head = jnp.zeros(W, jnp.int32).at[0].set(cls_id)
+        head = jax.lax.dynamic_update_slice(head, q_raw, (1,))
+        # zero q padding past q_len, THEN place the sep (order matters)
+        head = jnp.where((pos > q_len) & (pos < 1 + Lq), 0, head)
+        head = head.at[1 + q_len].set(sep_id)
+
+        def one(drow, dlen):
+            dd = jnp.zeros(Sd + 1, jnp.int32)
+            dd = jax.lax.dynamic_update_slice(dd, drow, (0,))
+            dd = jnp.where(jnp.arange(Sd + 1) >= dlen, 0, dd)
+            dd = dd.at[dlen].set(sep_id)
+            row = jax.lax.dynamic_update_slice(head, dd, (q_len + 2,))
+            total = q_len + 2 + dlen + 1
+            mask = (pos < total).astype(jnp.int32)
+            tt = ((pos >= q_len + 2) & (pos < total)).astype(jnp.int32)
+            return row, mask, tt
+
+        return jax.vmap(one)(d_tok, d_len)
+
+    def _e2e_impl(self, q_raw, q_len, packed, w, *, pool, k, rr_k):
+        be = self._be
+        Lq = q_raw.shape[0]
+        # bi-encoder forward: [CLS] q [SEP]
+        bpos = jnp.arange(Lq + 2)
+        b_ids = jnp.zeros(Lq + 2, jnp.int32).at[0].set(be.tokenizer.cls_id)
+        b_ids = jax.lax.dynamic_update_slice(b_ids, q_raw, (1,))
+        b_ids = jnp.where((bpos > q_len) & (bpos < 1 + Lq), 0, b_ids)
+        b_ids = b_ids.at[1 + q_len].set(be.tokenizer.sep_id)
+        b_mask = (bpos < q_len + 2).astype(jnp.int32)
+        qvec = be.model.apply(
+            {"params": be.params}, b_ids[None], b_mask[None]
+        )[0]
+
+        st = self._stage_a_impl(qvec, *self._unpack(packed), pool=pool)
+        P = st["idx"].shape[0]
+
+        if rr_k > 0 and self._ce is not None:
+            rows = st["idx"][:rr_k]
+            d_tok = jnp.take(self.arrays["doc_tokens"], rows, axis=0)
+            d_len = jnp.take(self.arrays["doc_token_len"], rows)
+            # pair width [CLS] q [SEP] d [SEP] must fit the cross-encoder's
+            # position budget
+            sd_max = self._ce.cfg.max_position - Lq - 3
+            if sd_max < d_tok.shape[1]:
+                d_tok = d_tok[:, :sd_max]
+                d_len = jnp.minimum(d_len, sd_max)
+            p_ids, p_mask, p_tt = self._build_pairs(q_raw, q_len, d_tok, d_len)
+            ce = self._ce
+            ce_scores = ce.model.apply(
+                {"params": ce.params}, p_ids, p_mask, p_tt
+            )  # (rr_k,)
+            rerank_raw = jnp.zeros(P, jnp.float32).at[:rr_k].set(ce_scores)
+            rerank_mask = (jnp.arange(P) < rr_k) & st["cand_valid"]
+        else:
+            rerank_raw = jnp.zeros(P, jnp.float32)
+            rerank_mask = jnp.zeros(P, jnp.bool_)
+
+        gate = jnp.power(
+            w.gate_penalty,
+            (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
+        )
+        res = fuse_candidates(
+            st["dense_raw"], st["bm25_raw"], rerank_raw, rerank_mask,
+            jnp.zeros(P, jnp.float32), jnp.bool_(False),
+            st["n_reviews"], st["avg_stars"], gate, st["cand_valid"], w,
+        )
+        scores, posn = final_topk(res, min(k, P))
+        return jnp.take(st["idx"], posn), scores, qvec
+
+    def query_e2e(self, query: str, w: FusionWeights, pool: int, k: int,
+                  rr_k: int = 0):
+        """One-device-program query including the encoder(s). Requires
+        attach_models(); rerank additionally requires an index built with
+        attach_rerank_tokens. Returns (row ids (k,), scores (k,))."""
+        if not hasattr(self, "_e2e"):
+            raise RuntimeError("call attach_models(biencoder[, crossencoder]) first")
+        if rr_k > 0 and "doc_tokens" not in self.arrays:
+            raise RuntimeError(
+                "index has no doc_tokens; build with attach_rerank_tokens()"
+            )
+        Lq_cap = 30  # query token budget ([CLS] + 30 + [SEP] = 32 lanes)
+        ids = self._be.tokenizer.token_ids(query)[:Lq_cap]
+        q_raw = np.zeros(Lq_cap, np.int32)
+        q_raw[: len(ids)] = ids
+        packed = self.featurizer.featurize(query).pack()
+        rows, scores, _q = self._e2e(
+            jnp.asarray(q_raw), jnp.int32(len(ids)), jnp.asarray(packed), w,
+            pool=min(pool, self.products.n_padded), k=k, rr_k=rr_k,
+        )
+        return rows, scores
 
     # ------------------------------------------------------------- packed entry
     def _unpack(self, packed):

@@ -195,6 +195,34 @@ def build_product_index(
     return idx
 
 
+def attach_rerank_tokens(
+    index: ProductIndex,
+    tokenizer,
+    max_tokens: int = 254,
+    text_prefix_chars: int = 2000,
+) -> ProductIndex:
+    """Pre-tokenize agg_text with the MODEL tokenizer and store padded token
+    ids in the index, enabling fully on-device cross-encoder reranking
+    (engine/search.py:query_e2e). `max_tokens` is the document budget of the
+    [CLS] q [SEP] d [SEP] pair; texts are truncated to the reference's
+    2000-char rerank window first (app/app_product_search.py:273)."""
+    n = index.n_docs
+    n_pad = index.n_padded
+    toks = np.zeros((n_pad, max_tokens), np.int32)
+    lens = np.zeros(n_pad, np.int32)
+    pad_id = getattr(tokenizer, "pad_id", 0)
+    if pad_id != 0:
+        toks[:] = pad_id
+    for i in range(n):
+        ids = tokenizer.token_ids(str(index.agg_texts[i])[:text_prefix_chars])
+        ids = ids[:max_tokens]
+        toks[i, : len(ids)] = ids
+        lens[i] = len(ids)
+    index.doc_tokens = toks
+    index.doc_token_len = lens
+    return index
+
+
 def build_review_index(
     rev_skus: Sequence[str],
     rev_texts: Sequence[str],

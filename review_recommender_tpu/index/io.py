@@ -44,8 +44,7 @@ def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
     out.mkdir(parents=True, exist_ok=True)
     p = bundle.products
 
-    np.savez_compressed(
-        out / "product_arrays.npz",
+    arrays = dict(
         emb=p.emb,
         n_reviews=p.n_reviews,
         avg_stars=p.avg_stars,
@@ -57,6 +56,10 @@ def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
         idf=p.idf,
         df=p.df,
     )
+    if p.doc_tokens is not None:
+        arrays["doc_tokens"] = p.doc_tokens
+        arrays["doc_token_len"] = p.doc_token_len
+    np.savez_compressed(out / "product_arrays.npz", **arrays)
     pd.DataFrame(
         {
             "sku": p.skus,
@@ -142,6 +145,10 @@ def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBund
         df=arrs["df"],
         avgdl=float(manifest["avgdl"]),
         n_docs=int(manifest["n_docs"]),
+        doc_tokens=arrs["doc_tokens"] if "doc_tokens" in arrs.files else None,
+        doc_token_len=(
+            arrs["doc_token_len"] if "doc_token_len" in arrs.files else None
+        ),
     )
     p.validate()
 

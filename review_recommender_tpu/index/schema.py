@@ -16,6 +16,9 @@ Array inventory (N_pad = N padded; L = DOC_TERMS_CAP; G = len(GATE_PHRASES)):
   gate_bits  (N_pad, G)  bool       GATE_PHRASES[i] substring-present in
                                     agg_text[:6000] (host-precomputed)
   valid      (N_pad,)    bool       real row vs padding
+  doc_tokens (N_pad, S)  int32      OPTIONAL: model-tokenizer ids of
+                                    agg_text for on-device reranking
+  doc_token_len (N_pad,) int32      OPTIONAL: real token count per row
 
 Host-side (never on device):
   skus, agg_texts, vocab (term -> id, id 0 reserved), idf (V+1,) f32 with
@@ -68,6 +71,9 @@ class ProductIndex:
     df: np.ndarray  # (V+1,) i32
     avgdl: float
     n_docs: int
+    # optional: model-tokenizer ids for on-device cross-encoder reranking
+    doc_tokens: Optional[np.ndarray] = None
+    doc_token_len: Optional[np.ndarray] = None
 
     @property
     def n_padded(self) -> int:
@@ -83,7 +89,7 @@ class ProductIndex:
 
     def device_arrays(self, emb_dtype=jnp.bfloat16) -> dict:
         """The pytree of arrays the query engine closes over."""
-        return {
+        out = {
             "emb": jnp.asarray(self.emb, dtype=emb_dtype),
             "n_reviews": jnp.asarray(self.n_reviews, dtype=jnp.float32),
             "avg_stars": jnp.asarray(self.avg_stars, dtype=jnp.float32),
@@ -93,6 +99,12 @@ class ProductIndex:
             "gate_bits": jnp.asarray(self.gate_bits, dtype=jnp.bool_),
             "valid": jnp.asarray(self.valid, dtype=jnp.bool_),
         }
+        if self.doc_tokens is not None:
+            out["doc_tokens"] = jnp.asarray(self.doc_tokens, dtype=jnp.int32)
+            out["doc_token_len"] = jnp.asarray(
+                self.doc_token_len, dtype=jnp.int32
+            )
+        return out
 
     def validate(self) -> None:
         n_pad = self.n_padded

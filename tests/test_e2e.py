@@ -1,0 +1,123 @@
+"""Fully on-device e2e query path: one XLA program from query tokens to
+ranked results (bi-encoder + retrieval + on-device cross-encoder rerank +
+fusion). Parity-checked against the host-hook path running the SAME towers.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from review_recommender_tpu.engine.search import SearchEngine
+from review_recommender_tpu.index.build import (
+    attach_rerank_tokens,
+    build_bundle_from_products,
+)
+from review_recommender_tpu.models.bert import BertConfig
+from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+from review_recommender_tpu.models.tokenizer import HashTokenizer
+from review_recommender_tpu.ops.fusion import FusionWeights
+from tests.test_engine_parity import make_corpus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = HashTokenizer(vocab_size=512)
+    be = BiEncoder.random_init(BertConfig.tiny(vocab_size=512), tokenizer=tok,
+                               seed=0, dtype=jnp.float32)
+    ce = CrossEncoder.random_init(BertConfig.tiny(vocab_size=512),
+                                  tokenizer=tok, seed=1, dtype=jnp.float32)
+
+    products, _emb, _r, _re = make_corpus(n=24, dim=64, seed=17)
+    texts = [p["agg_text"][:120] for p in products]  # short: no truncation
+    for p, t in zip(products, texts):
+        p["agg_text"] = t
+    emb = be.encode(texts)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=8,
+                                        doc_terms_cap=64)
+    attach_rerank_tokens(bundle.products, tok, max_tokens=48)
+
+    engine = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    engine.attach_models(be, ce)
+    return engine, be, ce
+
+
+W = FusionWeights.make(w_dense=0.5, w_bm25=0.2, w_rerank=0.3, w_prior=0.1,
+                       w_best=0.0, prior_c=20.0, min_reviews=5,
+                       gate_penalty=0.5)
+
+
+class TestE2E:
+    @pytest.mark.parametrize("query", [
+        "yellow cat socks",
+        "wireless bluetooth headphones",
+        "stainless steel kitchen knife",
+    ])
+    def test_matches_host_path_with_rerank(self, setup, query):
+        engine, be, ce = setup
+        rr_k = 6
+        rows_d, scores_d = engine.query_e2e(query, W, pool=16, k=8, rr_k=rr_k)
+        rows_d, scores_d = np.asarray(rows_d), np.asarray(scores_d)
+
+        df, _s, _dbg = engine.run_search(
+            query, k=8, rerank_k=rr_k, w_dense=0.5, w_bm25=0.2, w_rerank=0.3,
+            w_prior=0.1, w_best=0.0, prior_C=20.0, min_reviews=5,
+            gate_penalty=0.5,
+        )
+        # NOTE: run_search uses pool=max(k, rerank_k, DEFAULT_POOL)=150 >
+        # n_docs, same as pool=16 here only because 16 < n_docs=24 changes
+        # the pool. Re-run e2e at the host pool for exact comparison:
+        rows_d, scores_d = engine.query_e2e(query, W, pool=engine.products.n_padded,
+                                            k=8, rr_k=rr_k)
+        rows_d, scores_d = np.asarray(rows_d), np.asarray(scores_d)
+        host_skus = df["sku"].tolist()
+        host_final = df["_final"].to_numpy()
+        got_skus = [engine.products.skus[i] for i in rows_d]
+
+        np.testing.assert_allclose(scores_d, host_final, rtol=5e-4, atol=5e-5)
+        for i, (a, b) in enumerate(zip(got_skus, host_skus)):
+            if a != b:  # near-tie rank swaps only
+                assert abs(scores_d[i] - host_final[i]) < 1e-3
+
+    def test_no_rerank_matches_query_fused(self, setup):
+        engine, be, ce = setup
+        query = "comfortable running shoes"
+        rows_d, scores_d = engine.query_e2e(query, W, pool=24, k=8, rr_k=0)
+        qvec = be(query)
+        rows_f, scores_f = engine.query_fused(qvec, query, W, pool=24, k=8)
+        np.testing.assert_allclose(
+            np.asarray(scores_d), np.asarray(scores_f), rtol=1e-4, atol=1e-5
+        )
+
+    def test_requires_attach(self):
+        products, _e, _r, _re = make_corpus(n=8, dim=16, seed=1)
+        emb = np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32)
+        bundle = build_bundle_from_products(products, emb, pad_multiple=8,
+                                            doc_terms_cap=16)
+        eng = SearchEngine(bundle, emb_dtype="float32")
+        with pytest.raises(RuntimeError, match="attach_models"):
+            eng.query_e2e("x", W, pool=8, k=4)
+
+    def test_rerank_requires_doc_tokens(self, setup):
+        engine, be, ce = setup
+        products, _e, _r, _re = make_corpus(n=8, dim=64, seed=2)
+        texts = [p["agg_text"][:80] for p in products]
+        emb = be.encode(texts)
+        bundle = build_bundle_from_products(products, emb, pad_multiple=8,
+                                            doc_terms_cap=16)
+        eng = SearchEngine(bundle, emb_dtype="float32")
+        eng.attach_models(be, ce)
+        with pytest.raises(RuntimeError, match="doc_tokens"):
+            eng.query_e2e("x", W, pool=8, k=4, rr_k=4)
+
+    def test_index_io_roundtrips_doc_tokens(self, setup, tmp_path):
+        from review_recommender_tpu.index.io import load_bundle, save_bundle
+
+        engine, _be, _ce = setup
+        save_bundle(engine.bundle, tmp_path / "idx")
+        loaded = load_bundle(tmp_path / "idx")
+        np.testing.assert_array_equal(
+            loaded.products.doc_tokens, engine.products.doc_tokens
+        )
+        np.testing.assert_array_equal(
+            loaded.products.doc_token_len, engine.products.doc_token_len
+        )
