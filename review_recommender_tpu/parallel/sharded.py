@@ -123,6 +123,19 @@ class ShardedSearchEngine:
         self._compiled = {}
 
     # ------------------------------------------------------------ SPMD blocks
+    def _fused_block_packed(self, a, rev, qvec, packed, w, use_snips, *,
+                            pool, k):
+        """Packed-feature entry: one replicated feature buffer per query
+        (see engine/featurize.py:QueryFeatures.pack)."""
+        from review_recommender_tpu.engine.featurize import unpack_features
+
+        feats = unpack_features(
+            packed, self.featurizer.query_terms_cap,
+            self.featurizer.gate_terms_cap,
+        )
+        return self._fused_block(a, rev, qvec, *feats, w, use_snips,
+                                 pool=pool, k=k)
+
     def _fused_block(self, a, rev, qvec, q_terms, q_idf, gp_mask, gt_ids,
                      g_valid, w, use_snips, *, pool, k):
         """Per-device body under shard_map. `a` holds LOCAL rows."""
@@ -246,8 +259,8 @@ class ShardedSearchEngine:
             rep = P()
             a_specs = {n: sh for n in self.arrays}
             rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
-            body = functools.partial(self._fused_block, pool=pool, k=k)
-            in_specs = (a_specs, rev_specs, rep, rep, rep, rep, rep, rep,
+            body = functools.partial(self._fused_block_packed, pool=pool, k=k)
+            in_specs = (a_specs, rev_specs, rep, rep,
                         jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
             fn = jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
@@ -284,15 +297,15 @@ class ShardedSearchEngine:
             a_specs = {n: sh for n in self.arrays}
             rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
 
-            def body(a, rev, qvecs, q_terms, q_idf, gp, gt, gv, w, snips):
+            def body(a, rev, qvecs, packed, w, snips):
                 # vmap the per-device block over the (replicated) batch axis
-                per_q = functools.partial(self._fused_block, pool=pool, k=k)
+                per_q = functools.partial(self._fused_block_packed,
+                                          pool=pool, k=k)
                 return jax.vmap(
-                    lambda qv, t, i, m, g, v: per_q(a, rev, qv, t, i, m, g, v,
-                                                    w, snips)
-                )(qvecs, q_terms, q_idf, gp, gt, gv)
+                    lambda qv, p: per_q(a, rev, qv, p, w, snips)
+                )(qvecs, packed)
 
-            in_specs = (a_specs, rev_specs, rep, rep, rep, rep, rep, rep,
+            in_specs = (a_specs, rev_specs, rep, rep,
                         jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
             fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
                                out_specs=(rep, rep), check_vma=False)
@@ -306,31 +319,28 @@ class ShardedSearchEngine:
         (row ids (B, k), scores (B, k)). The corpus stays sharded over the
         mesh; the batch is replicated, so each chip does one
         (N/n, D) x (D, B) matmul and the merge allgathers B x pool pairs."""
-        feats = [self.featurizer.featurize(q) for q in queries]
-        stack = lambda name: jnp.asarray(
-            np.stack([getattr(f, name) for f in feats])
+        packed = np.stack(
+            [self.featurizer.featurize(q).pack() for q in queries]
         )
-        fn = self._get_fused_batch(len(feats), pool, k)
+        fn = self._get_fused_batch(len(queries), pool, k)
         return fn(
             self.arrays, self.rev_arrays,
             jnp.asarray(np.asarray(qvecs, np.float32)),
-            stack("q_terms"), stack("q_idf"), stack("group_phrase_mask"),
-            stack("group_term_ids"), stack("group_valid"),
+            jnp.asarray(packed),
             w, jnp.bool_(use_snips),
         )
 
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
                     use_snips: bool = False):
         """Returns (corpus row ids (k,), final scores (k,)) — same contract as
-        the single-chip SearchEngine.query_fused."""
-        qf = self.featurizer.featurize(query)
+        the single-chip SearchEngine.query_fused. Features replicate to the
+        mesh as ONE packed buffer."""
+        packed = self.featurizer.featurize(query).pack()
         fn = self._get_fused(pool, k)
         return fn(
             self.arrays, self.rev_arrays,
             jnp.asarray(qvec, jnp.float32),
-            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
-            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
-            jnp.asarray(qf.group_valid),
+            jnp.asarray(packed),
             w, jnp.bool_(use_snips),
         )
 
