@@ -130,7 +130,7 @@ class Config:
             raise ValueError("QUERY_TERMS_CAP must be positive")
         if cls.GATE_MODE not in ("device", "host"):
             raise ValueError(f"GATE_MODE must be 'device' or 'host', got {cls.GATE_MODE!r}")
-        if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16"):
+        if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16", "int8"):
             raise ValueError(f"Unsupported EMB_DTYPE: {cls.EMB_DTYPE!r}")
         if cls.is_production():
             if not cls.INDEX_DIR.exists():

@@ -66,12 +66,16 @@ class SearchEngine:
         self.bundle = bundle
         self.products = bundle.products
         self.reviews = bundle.reviews
-        self.dtype = _DTYPES[emb_dtype or config.EMB_DTYPE]
+        raw_dtype = emb_dtype or config.EMB_DTYPE
+        self.int8_mode = raw_dtype == "int8"
+        self.dtype = jnp.bfloat16 if self.int8_mode else _DTYPES[raw_dtype]
         self.gate_mode = gate_mode or config.GATE_MODE
         self.query_encoder = query_encoder
         self.cross_encoder = cross_encoder
 
-        self.arrays = self.products.device_arrays(self.dtype)
+        self.arrays = self.products.device_arrays(
+            self.dtype, quantize_int8=self.int8_mode
+        )
         self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
         self.n_docs = self.products.n_docs
 
@@ -109,10 +113,22 @@ class SearchEngine:
             self._fused_packed_batch_impl, static_argnames=("pool", "k")
         )
 
+    def _dense_topk(self, a, qvec, pool):
+        """f32/bf16 or int8-quantized dense pool, by what the arrays hold."""
+        if "emb_q" in a:
+            from review_recommender_tpu.ops.dense import dense_topk_int8
+
+            return dense_topk_int8(a["emb_q"], a["emb_scale"], qvec,
+                                   a["valid"], pool)
+        return dense_topk(a["emb"], qvec, a["valid"], pool)
+
     # ------------------------------------------------------------------ jit A
-    def _stage_a_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid, *, pool):
-        a = self.arrays
-        dense_raw, idx = dense_topk(a["emb"], qvec, a["valid"], pool)
+    # NOTE: all jitted impls take the corpus arrays as ARGUMENTS rather than
+    # closures — closed-over arrays get serialized into the (remote) compile
+    # payload, which breaks large corpora; as parameters they are runtime
+    # buffers, invisible to the compiler.
+    def _stage_a_impl(self, a, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid, *, pool):
+        dense_raw, idx = self._dense_topk(a, qvec, pool)
         cand_valid = jnp.isfinite(dense_raw)
         take = lambda arr: jnp.take(arr, idx, axis=0)
         doc_terms = take(a["doc_terms"])
@@ -148,21 +164,20 @@ class SearchEngine:
         return res, scores, pos
 
     # ------------------------------------------------------------- jit snippets
-    def _snippet_scores_impl(self, qvec):
-        r = self.rev_arrays
+    def _snippet_scores_impl(self, r, qvec):
         return best_review_scores(
             r["rev_emb"], r["rev_product"], r["rev_valid"], qvec, self.n_docs
         )
 
     # --------------------------------------------------------------- fused path
-    def _fused_impl(self, qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid,
-                    w, use_snips, *, pool, k):
+    def _fused_impl(self, a, rev, qvec, q_terms, q_idf, gp_mask, gt_ids,
+                    g_valid, w, use_snips, *, pool, k):
         """Single-program query (no cross-encoder, device gate)."""
-        st = self._stage_a_impl(qvec, q_terms, q_idf, gp_mask, gt_ids, g_valid,
-                                pool=pool)
+        st = self._stage_a_impl(a, qvec, q_terms, q_idf, gp_mask, gt_ids,
+                                g_valid, pool=pool)
         P = pool
-        if self.rev_arrays is not None:
-            best_full = self._snippet_scores_impl(qvec)
+        if rev is not None:
+            best_full = self._snippet_scores_impl(rev, qvec)
             best_pad = jnp.zeros(self.products.n_padded, jnp.float32)
             best_pad = best_pad.at[: self.n_docs].set(
                 jnp.where(best_full > SNIPPET_NONE, best_full, 0.0)
@@ -232,7 +247,8 @@ class SearchEngine:
 
         return jax.vmap(one)(d_tok, d_len)
 
-    def _e2e_impl(self, q_raw, q_len, packed, w, *, pool, k, rr_k):
+    def _e2e_impl(self, a, be_params, ce_params, q_raw, q_len, packed, w,
+                  *, pool, k, rr_k):
         be = self._be
         Lq = q_raw.shape[0]
         # bi-encoder forward: [CLS] q [SEP]
@@ -243,16 +259,16 @@ class SearchEngine:
         b_ids = b_ids.at[1 + q_len].set(be.tokenizer.sep_id)
         b_mask = (bpos < q_len + 2).astype(jnp.int32)
         qvec = be.model.apply(
-            {"params": be.params}, b_ids[None], b_mask[None]
+            {"params": be_params}, b_ids[None], b_mask[None]
         )[0]
 
-        st = self._stage_a_impl(qvec, *self._unpack(packed), pool=pool)
+        st = self._stage_a_impl(a, qvec, *self._unpack(packed), pool=pool)
         P = st["idx"].shape[0]
 
         if rr_k > 0 and self._ce is not None:
             rows = st["idx"][:rr_k]
-            d_tok = jnp.take(self.arrays["doc_tokens"], rows, axis=0)
-            d_len = jnp.take(self.arrays["doc_token_len"], rows)
+            d_tok = jnp.take(a["doc_tokens"], rows, axis=0)
+            d_len = jnp.take(a["doc_token_len"], rows)
             # pair width [CLS] q [SEP] d [SEP] must fit the cross-encoder's
             # position budget
             sd_max = self._ce.cfg.max_position - Lq - 3
@@ -260,9 +276,8 @@ class SearchEngine:
                 d_tok = d_tok[:, :sd_max]
                 d_len = jnp.minimum(d_len, sd_max)
             p_ids, p_mask, p_tt = self._build_pairs(q_raw, q_len, d_tok, d_len)
-            ce = self._ce
-            ce_scores = ce.model.apply(
-                {"params": ce.params}, p_ids, p_mask, p_tt
+            ce_scores = self._ce.model.apply(
+                {"params": ce_params}, p_ids, p_mask, p_tt
             )  # (rr_k,)
             rerank_raw = jnp.zeros(P, jnp.float32).at[:rr_k].set(ce_scores)
             rerank_mask = (jnp.arange(P) < rr_k) & st["cand_valid"]
@@ -298,8 +313,11 @@ class SearchEngine:
         q_raw = np.zeros(Lq_cap, np.int32)
         q_raw[: len(ids)] = ids
         packed = self.featurizer.featurize(query).pack()
+        ce_params = self._ce.params if self._ce is not None else None
         rows, scores, _q = self._e2e(
-            jnp.asarray(q_raw), jnp.int32(len(ids)), jnp.asarray(packed), w,
+            self.arrays, self._be.params, ce_params,
+            jnp.asarray(q_raw), jnp.int32(len(ids)),
+            jnp.asarray(packed), w,
             pool=min(pool, self.products.n_padded), k=k, rr_k=rr_k,
         )
         return rows, scores
@@ -313,30 +331,33 @@ class SearchEngine:
             self.featurizer.gate_terms_cap,
         )
 
-    def _fused_packed_impl(self, qvec, packed, w, use_snips, *, pool, k):
+    def _fused_packed_impl(self, a, rev, qvec, packed, w, use_snips, *,
+                           pool, k):
         """query_fused with features in ONE packed buffer: a query costs two
         host->device transfers (qvec + features) instead of seven."""
-        return self._fused_impl(qvec, *self._unpack(packed), w, use_snips,
-                                pool=pool, k=k)
+        return self._fused_impl(a, rev, qvec, *self._unpack(packed), w,
+                                use_snips, pool=pool, k=k)
 
-    def _fused_packed_batch_impl(self, qvecs, packed, w, use_snips, *, pool, k):
+    def _fused_packed_batch_impl(self, a, rev, qvecs, packed, w, use_snips,
+                                 *, pool, k):
         f = functools.partial(self._fused_packed_impl, pool=pool, k=k)
-        return jax.vmap(f, in_axes=(0, 0, None, None))(
-            qvecs, packed, w, use_snips
+        return jax.vmap(f, in_axes=(None, None, 0, 0, None, None))(
+            a, rev, qvecs, packed, w, use_snips
         )
 
     # ------------------------------------------------------------ batched fused
-    def _fused_batch_impl(self, qvecs, q_terms, q_idf, gp_mask, gt_ids,
-                          g_valid, w, use_snips, *, pool, k):
+    def _fused_batch_impl(self, self_arrays, rev, qvecs, q_terms, q_idf,
+                          gp_mask, gt_ids, g_valid, w, use_snips, *, pool, k):
         """vmap of the fused query over the batch axis. XLA turns the B
         vmapped (N, D) @ (D,) products into ONE (N, D) @ (D, B) matmul, so
         the MXU amortizes the HBM sweep of the corpus across the batch —
         the reference's architecture (one pandas pass per query) cannot do
         this at all."""
         f = functools.partial(self._fused_impl, pool=pool, k=k)
-        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
-            qvecs, q_terms, q_idf, gp_mask, gt_ids, g_valid, w, use_snips
-        )
+        return jax.vmap(
+            f, in_axes=(None, None, 0, 0, 0, 0, 0, 0, None, None)
+        )(self_arrays, rev, qvecs, q_terms, q_idf, gp_mask, gt_ids, g_valid,
+          w, use_snips)
 
     def query_fused_batched(self, qvecs, queries: List[str], w: FusionWeights,
                             pool: int, k: int, use_snips: bool = False):
@@ -346,6 +367,7 @@ class SearchEngine:
             [self.featurizer.featurize(q).pack() for q in queries]
         )
         rows, scores, _res, _pos = self._fused_packed_batch(
+            self.arrays, self.rev_arrays,
             jnp.asarray(np.asarray(qvecs, np.float32)),
             jnp.asarray(packed),
             w, jnp.bool_(use_snips),
@@ -415,7 +437,7 @@ class SearchEngine:
         pool = min(pool, self.products.n_padded)
 
         st = self._stage_a(
-            qvec,
+            self.arrays, qvec,
             jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
             jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
             jnp.asarray(qf.group_valid),
@@ -468,7 +490,7 @@ class SearchEngine:
         snips: Dict[str, dict] = {}
         has_snips = False
         if use_snips and self.reviews is not None:
-            best_full = np.asarray(self._snippet_scores(qvec))
+            best_full = np.asarray(self._snippet_scores(self.rev_arrays, qvec))
             for i, row in enumerate(cand_rows):
                 v = best_full[row]
                 if v > SNIPPET_NONE:
@@ -544,9 +566,9 @@ class SearchEngine:
     # ------------------------------------------------- standalone retrieval
     def search_dense(self, qvec, k: int):
         """Pure dense retrieval (BASELINE config 1): (row ids, scores)."""
-        scores, idx = dense_topk(
-            self.arrays["emb"], jnp.asarray(qvec, jnp.float32),
-            self.arrays["valid"], min(int(k), self.products.n_padded),
+        scores, idx = self._dense_topk(
+            self.arrays, jnp.asarray(qvec, jnp.float32),
+            min(int(k), self.products.n_padded),
         )
         return idx, scores
 
@@ -598,6 +620,7 @@ class SearchEngine:
         packed buffer — two transfers per query total."""
         packed = self.featurizer.featurize(query).pack()
         rows, scores, _res, _pos = self._fused_packed(
+            self.arrays, self.rev_arrays,
             jnp.asarray(qvec, jnp.float32),
             jnp.asarray(packed),
             w, jnp.bool_(use_snips),

@@ -87,10 +87,25 @@ class ProductIndex:
     def terms_cap(self) -> int:
         return int(self.doc_terms.shape[1])
 
-    def device_arrays(self, emb_dtype=jnp.bfloat16) -> dict:
-        """The pytree of arrays the query engine closes over."""
+    def device_arrays(self, emb_dtype=jnp.bfloat16,
+                      quantize_int8: bool = False) -> dict:
+        """The pytree of arrays the query engine closes over.
+
+        quantize_int8=True replaces "emb" with symmetric per-row int8
+        ("emb_q" int8 + "emb_scale" f32): half the HBM of bf16, native
+        int8 MXU matmuls (ops/dense.py:dense_scores_int8)."""
+        if quantize_int8:
+            from review_recommender_tpu.ops.dense import quantize_corpus_int8
+
+            q, s = quantize_corpus_int8(self.emb)
+            emb_entries = {
+                "emb_q": jnp.asarray(q),
+                "emb_scale": jnp.asarray(s),
+            }
+        else:
+            emb_entries = {"emb": jnp.asarray(self.emb, dtype=emb_dtype)}
         out = {
-            "emb": jnp.asarray(self.emb, dtype=emb_dtype),
+            **emb_entries,
             "n_reviews": jnp.asarray(self.n_reviews, dtype=jnp.float32),
             "avg_stars": jnp.asarray(self.avg_stars, dtype=jnp.float32),
             "doc_terms": jnp.asarray(self.doc_terms, dtype=jnp.int32),

@@ -94,6 +94,7 @@ class TestFusedSharded:
             prior_c=20.0, min_reviews=5, gate_penalty=0.3,
         )
         rows_s, scores_s, _res, _pos = single._fused(
+            single.arrays, single.rev_arrays,
             jax.numpy.asarray(q), *_feat(single, query), w,
             jax.numpy.bool_(False), pool=64, k=10,
         )
@@ -129,6 +130,7 @@ class TestFusedSharded:
             prior_c=20.0, min_reviews=1, gate_penalty=1.0,
         )
         rows_s, scores_s, _r, _p = single._fused(
+            single.arrays, single.rev_arrays,
             jax.numpy.asarray(q), *_feat(single, "yellow socks"), w,
             jax.numpy.bool_(True), pool=32, k=8,
         )
