@@ -50,8 +50,12 @@ def build_index_from_reviews(
     work_dir: Optional[str | Path] = None,
     doc_terms_cap: int = 512,
     resume: bool = True,
+    eager_bm25: bool = True,
 ) -> IndexBundle:
-    """Stages 2-5: aggregation, embedding jobs, bundle build + save."""
+    """Stages 2-5: aggregation, embedding jobs, bundle build + save.
+
+    eager_bm25 bakes per-(term, doc) BM25 contributions into the index
+    (BM25S-style) — query scoring becomes a masked sum."""
     out = Path(out_dir)
     work = Path(work_dir) if work_dir else out / "_work"
 
@@ -69,6 +73,10 @@ def build_index_from_reviews(
         prod_emb,
         doc_terms_cap=doc_terms_cap,
     )
+    if eager_bm25:
+        from review_recommender_tpu.index.build import attach_eager_bm25
+
+        attach_eager_bm25(pidx)
 
     ridx = None
     if with_snippets and len(reviews):

@@ -132,10 +132,17 @@ class SearchEngine:
         cand_valid = jnp.isfinite(dense_raw)
         take = lambda arr: jnp.take(arr, idx, axis=0)
         doc_terms = take(a["doc_terms"])
-        bm25_raw = bm25_candidate_scores(
-            doc_terms, take(a["doc_tf"]), take(a["doc_len"]),
-            q_terms, q_idf, self.avgdl,
-        )
+        if "doc_bm25" in a:  # eager-scored postings: masked sum only
+            from review_recommender_tpu.ops.bm25 import bm25_candidate_scores_eager
+
+            bm25_raw = bm25_candidate_scores_eager(
+                doc_terms, take(a["doc_bm25"]), q_terms
+            )
+        else:
+            bm25_raw = bm25_candidate_scores(
+                doc_terms, take(a["doc_tf"]), take(a["doc_len"]),
+                q_terms, q_idf, self.avgdl,
+            )
         gate_dev, gate_hits = gate_factors_device(
             take(a["gate_bits"]), doc_terms, gp_mask, gt_ids, g_valid,
             jnp.float32(1.0),  # penalty applied in stage B: return miss counts
@@ -583,15 +590,24 @@ class SearchEngine:
 
         qf = self.featurizer.featurize(query)
         a = self.arrays
-        args = (a["doc_terms"], a["doc_tf"], a["doc_len"], a["valid"],
-                jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf), self.avgdl)
         kk = min(int(k), self.products.n_padded)
-        if self._pallas_ok():
-            from review_recommender_tpu.ops.pallas import bm25_topk_pallas
+        if "doc_bm25" in a:
+            from review_recommender_tpu.ops.bm25 import bm25_full_scores_eager
 
-            scores, idx = bm25_topk_pallas(*args, k=kk)
+            scores = bm25_full_scores_eager(
+                a["doc_terms"], a["doc_bm25"], jnp.asarray(qf.q_terms)
+            )
+            scores = jnp.where(a["valid"], scores, -jnp.inf)
+            scores, idx = jax.lax.top_k(scores, kk)
         else:
-            scores, idx = bm25_topk(*args, k=kk)
+            args = (a["doc_terms"], a["doc_tf"], a["doc_len"], a["valid"],
+                    jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf), self.avgdl)
+            if self._pallas_ok():
+                from review_recommender_tpu.ops.pallas import bm25_topk_pallas
+
+                scores, idx = bm25_topk_pallas(*args, k=kk)
+            else:
+                scores, idx = bm25_topk(*args, k=kk)
         return idx, scores
 
     def _pallas_ok(self) -> bool:

@@ -195,6 +195,29 @@ def build_product_index(
     return idx
 
 
+def eager_bm25_scores(
+    doc_terms: np.ndarray, doc_tf: np.ndarray, doc_len: np.ndarray,
+    idf: np.ndarray, avgdl: float,
+) -> np.ndarray:
+    """Precompute the full per-(term, doc) Okapi contribution (BM25S,
+    arXiv:2407.03618): idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+    Query-time scoring degenerates to a masked sum (ops/bm25.py eager
+    variants). PAD lanes (term id 0, tf 0) get 0."""
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / max(avgdl, 1e-9))
+    contrib = (idf[doc_terms] * doc_tf * (BM25_K1 + 1.0)
+               / (doc_tf + norm[:, None] + 1e-30))
+    return np.where(doc_tf > 0, contrib, 0.0).astype(np.float32)
+
+
+def attach_eager_bm25(index: ProductIndex) -> ProductIndex:
+    """Bake eager BM25 contributions into the index (device then loads
+    doc_bm25 instead of doc_tf/doc_len — same memory, less query math)."""
+    index.doc_bm25 = eager_bm25_scores(
+        index.doc_terms, index.doc_tf, index.doc_len, index.idf, index.avgdl
+    )
+    return index
+
+
 def attach_rerank_tokens(
     index: ProductIndex,
     tokenizer,

@@ -59,6 +59,8 @@ def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
     if p.doc_tokens is not None:
         arrays["doc_tokens"] = p.doc_tokens
         arrays["doc_token_len"] = p.doc_token_len
+    if p.doc_bm25 is not None:
+        arrays["doc_bm25"] = p.doc_bm25
     np.savez_compressed(out / "product_arrays.npz", **arrays)
     pd.DataFrame(
         {
@@ -149,6 +151,7 @@ def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBund
         doc_token_len=(
             arrs["doc_token_len"] if "doc_token_len" in arrs.files else None
         ),
+        doc_bm25=arrs["doc_bm25"] if "doc_bm25" in arrs.files else None,
     )
     p.validate()
 

@@ -74,6 +74,10 @@ class ProductIndex:
     # optional: model-tokenizer ids for on-device cross-encoder reranking
     doc_tokens: Optional[np.ndarray] = None
     doc_token_len: Optional[np.ndarray] = None
+    # optional: eager per-(term, doc) BM25 contributions (BM25S,
+    # arXiv:2407.03618) — when present, query scoring is a masked sum and
+    # doc_tf/doc_len never ship to the device
+    doc_bm25: Optional[np.ndarray] = None
 
     @property
     def n_padded(self) -> int:
@@ -109,11 +113,16 @@ class ProductIndex:
             "n_reviews": jnp.asarray(self.n_reviews, dtype=jnp.float32),
             "avg_stars": jnp.asarray(self.avg_stars, dtype=jnp.float32),
             "doc_terms": jnp.asarray(self.doc_terms, dtype=jnp.int32),
-            "doc_tf": jnp.asarray(self.doc_tf, dtype=jnp.float32),
-            "doc_len": jnp.asarray(self.doc_len, dtype=jnp.float32),
             "gate_bits": jnp.asarray(self.gate_bits, dtype=jnp.bool_),
             "valid": jnp.asarray(self.valid, dtype=jnp.bool_),
         }
+        if self.doc_bm25 is not None:
+            # eager mode: same device memory as (tf + len) but zero query
+            # arithmetic beyond the masked sum
+            out["doc_bm25"] = jnp.asarray(self.doc_bm25, dtype=jnp.float32)
+        else:
+            out["doc_tf"] = jnp.asarray(self.doc_tf, dtype=jnp.float32)
+            out["doc_len"] = jnp.asarray(self.doc_len, dtype=jnp.float32)
         if self.doc_tokens is not None:
             out["doc_tokens"] = jnp.asarray(self.doc_tokens, dtype=jnp.int32)
             out["doc_token_len"] = jnp.asarray(

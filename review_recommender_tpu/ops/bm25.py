@@ -75,6 +75,39 @@ def bm25_full_scores(
     return scores
 
 
+def bm25_candidate_scores_eager(
+    doc_terms: jax.Array,  # (P, L) int32
+    doc_bm25: jax.Array,  # (P, L) f32 precomputed idf*tf*(k1+1)/(tf+norm)
+    q_terms: jax.Array,  # (Q,) int32, 0 = pad
+) -> jax.Array:
+    """Eager-scored BM25 (BM25S, arXiv:2407.03618): the whole per-(term,doc)
+    Okapi contribution is baked into the index at build time
+    (index/build.py:eager_bm25_scores), so query scoring is a masked SUM —
+    no division, no idf gather, and doc_tf/doc_len never ship to the device.
+    Identical values to bm25_candidate_scores by construction. PAD query
+    slots (id 0) match only PAD doc lanes, whose contribution is 0."""
+    match = doc_terms[:, :, None] == q_terms[None, None, :]
+    return jnp.sum(
+        jnp.where(match, doc_bm25[:, :, None], 0.0), axis=(1, 2)
+    ).astype(jnp.float32)
+
+
+def bm25_full_scores_eager(
+    doc_terms: jax.Array,  # (N, L) int32
+    doc_bm25: jax.Array,  # (N, L) f32
+    q_terms: jax.Array,  # (Q,) int32
+) -> jax.Array:
+    """Full-corpus eager BM25: scan over query terms, one masked sum each."""
+
+    def step(scores, tid):
+        s = jnp.sum(jnp.where(doc_terms == tid, doc_bm25, 0.0), axis=1)
+        return scores + s, None
+
+    init = jnp.zeros(doc_terms.shape[0], dtype=jnp.float32)
+    scores, _ = jax.lax.scan(step, init, q_terms)
+    return scores
+
+
 def bm25_topk(
     doc_terms: jax.Array,
     doc_tf: jax.Array,

@@ -170,8 +170,6 @@ class ShardedSearchEngine:
             return jax.lax.psum(jnp.where(m, g, jnp.zeros_like(g)), ax)
 
         doc_terms = assemble(a["doc_terms"])
-        doc_tf = assemble(a["doc_tf"])
-        doc_len = assemble(a["doc_len"])
         gate_bits = assemble(a["gate_bits"], out_dtype=jnp.int32) > 0
         n_reviews = assemble(a["n_reviews"])
         # NaN-able: psum of zeros-elsewhere works because only one owner
@@ -181,9 +179,17 @@ class ShardedSearchEngine:
         avg_stars = jnp.where(stars_nan > 0, jnp.nan, avg_stars_sum)
 
         # replicated scoring tail — identical math to the single-chip engine
-        bm25_raw = bm25_candidate_scores(
-            doc_terms, doc_tf, doc_len, q_terms, q_idf, self.avgdl
-        )
+        if "doc_bm25" in a:
+            from review_recommender_tpu.ops.bm25 import bm25_candidate_scores_eager
+
+            bm25_raw = bm25_candidate_scores_eager(
+                doc_terms, assemble(a["doc_bm25"]), q_terms
+            )
+        else:
+            bm25_raw = bm25_candidate_scores(
+                doc_terms, assemble(a["doc_tf"]), assemble(a["doc_len"]),
+                q_terms, q_idf, self.avgdl,
+            )
         _, gate_hits = gate_factors_device(
             gate_bits, doc_terms, gp_mask, gt_ids, g_valid, jnp.float32(1.0)
         )
@@ -240,7 +246,13 @@ class ShardedSearchEngine:
         ax = self.axis
         local_n = doc_terms.shape[0]
         offset = jax.lax.axis_index(ax) * local_n
-        scores = bm25_full_scores(doc_terms, doc_tf, doc_len, q_terms, q_idf, self.avgdl)
+        if doc_len is None:  # eager mode: doc_tf carries doc_bm25
+            from review_recommender_tpu.ops.bm25 import bm25_full_scores_eager
+
+            scores = bm25_full_scores_eager(doc_terms, doc_tf, q_terms)
+        else:
+            scores = bm25_full_scores(doc_terms, doc_tf, doc_len, q_terms,
+                                      q_idf, self.avgdl)
         scores = jnp.where(valid, scores, -jnp.inf)
         kl = min(k, local_n)
         s, i = jax.lax.top_k(scores, kl)
@@ -281,9 +293,11 @@ class ShardedSearchEngine:
                     out_specs=(rep, rep), check_vma=False,
                 )
             else:
+                eager = "doc_bm25" in self.arrays
                 fn = jax.shard_map(
                     functools.partial(self._bm25_block, k=k),
-                    mesh=self.mesh, in_specs=(sh, sh, sh, sh, rep, rep),
+                    mesh=self.mesh,
+                    in_specs=(sh, sh, None if eager else sh, sh, rep, rep),
                     out_specs=(rep, rep), check_vma=False,
                 )
             self._compiled[key] = jax.jit(fn)
@@ -353,9 +367,12 @@ class ShardedSearchEngine:
     def bm25_topk(self, query: str, k: int):
         qf = self.featurizer.featurize(query)
         fn = self._get_simple("bm25", k)
+        if "doc_bm25" in self.arrays:  # eager postings
+            tf_or_bm25, dl = self.arrays["doc_bm25"], None
+        else:
+            tf_or_bm25, dl = self.arrays["doc_tf"], self.arrays["doc_len"]
         idx, scores = fn(
-            self.arrays["doc_terms"], self.arrays["doc_tf"],
-            self.arrays["doc_len"], self.arrays["valid"],
+            self.arrays["doc_terms"], tf_or_bm25, dl, self.arrays["valid"],
             jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
         )
         return idx, scores
