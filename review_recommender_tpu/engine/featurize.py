@@ -95,6 +95,20 @@ class QueryFeaturizer:
         self._vocab_terms = np.array([t for t, _ in terms], dtype=np.str_)
         self._vocab_ids = np.array([i for _, i in terms], dtype=np.int32)
         self._vocab_df = index.df[self._vocab_ids] if len(terms) else np.zeros(0, np.int32)
+        # C fast path: '\n'-joined vocab blob (line i <-> term id i+1 —
+        # vocab ids are contiguous 1..V in build order)
+        self._vocab_blob = None
+        try:
+            from review_recommender_tpu.native import (
+                native_available,
+                substring_scan_native,
+            )
+
+            if native_available() and terms:
+                self._vocab_blob = ("\n".join(t for t, _ in terms) + "\n").encode()
+                self._scan_native = substring_scan_native
+        except Exception:
+            pass
 
     @functools.lru_cache(maxsize=65536)
     def _expand_token(self, token: str) -> np.ndarray:
@@ -104,10 +118,13 @@ class QueryFeaturizer:
         vectorized vocab scan is the single most expensive host step."""
         if len(self._vocab_terms) == 0:
             return np.zeros(0, np.int32)
-        hits = np.char.find(self._vocab_terms, token) >= 0
-        ids = self._vocab_ids[hits]
+        if self._vocab_blob is not None:
+            ids = self._scan_native(self._vocab_blob, token)
+        else:
+            hits = np.char.find(self._vocab_terms, token) >= 0
+            ids = self._vocab_ids[hits]
         if len(ids) > self.gate_terms_cap:
-            dfs = self._vocab_df[hits]
+            dfs = self.index.df[ids]
             order = np.argsort(-dfs, kind="stable")[: self.gate_terms_cap]
             ids = ids[order]
         return ids.astype(np.int32)

@@ -41,6 +41,11 @@ def _lib() -> Optional[ctypes.CDLL]:
     import numpy as _np
     from numpy.ctypeslib import ndpointer
 
+    lib.rrt_substring_scan.restype = ctypes.c_int64
+    lib.rrt_substring_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ndpointer(_np.int32, flags="C,W"), ctypes.c_int64,
+    ]
     lib.rrt_build_postings.restype = ctypes.c_int64
     lib.rrt_build_postings.argtypes = [
         ctypes.c_char_p, ndpointer(_np.int64, flags="C"), ctypes.c_int64,
@@ -120,6 +125,27 @@ def tokenize_corpus_native(texts: List[str], cap: int = 5000) -> List[List[str]]
             results[i] = toks[p : p + c]
             p += c
     return results  # type: ignore[return-value]
+
+
+def substring_scan_native(vocab_blob: bytes, token: str, max_hits: int = 4096):
+    """int32 ids (1-based line index) of vocab terms containing `token` —
+    the C fast path for the featurizer's dynamic-gate expansion."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise ImportError("librrt_native.so not built")
+    needle = token.encode("utf-8", "replace")
+    out = np.zeros(max_hits, np.int32)
+    n = lib.rrt_substring_scan(vocab_blob, len(vocab_blob), needle,
+                               len(needle), out, max_hits)
+    if n < 0:  # more hits than the buffer: retry with a bigger one
+        out = np.zeros(max_hits * 16, np.int32)
+        n = lib.rrt_substring_scan(vocab_blob, len(vocab_blob), needle,
+                                   len(needle), out, max_hits * 16)
+        if n < 0:
+            raise RuntimeError("substring scan overflow")
+    return out[: int(n)].copy()
 
 
 def build_postings_native(texts, doc_terms_cap: int, cap: int = 5000):

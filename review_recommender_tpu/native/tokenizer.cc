@@ -142,6 +142,42 @@ int64_t rrt_tokenize_batch(const char* blob, const int64_t* offsets,
   return total;
 }
 
+// Substring scan over a '\n'-separated vocabulary blob: writes the int32
+// term ids (1-based, id = line index + 1) of terms CONTAINING `needle` into
+// out_ids. Returns the hit count (or -1 if out_cap exceeded). This is the
+// featurizer's dynamic-gate expansion hot loop
+// (engine/featurize.py:_expand_token — np.char.find over the vocab).
+int64_t rrt_substring_scan(const char* blob, int64_t blob_len,
+                           const char* needle, int64_t needle_len,
+                           int32_t* out_ids, int64_t out_cap) {
+  if (needle_len <= 0) return 0;
+  int64_t count = 0;
+  int32_t term_id = 1;
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  const char first = needle[0];
+  while (p < end) {
+    const char* nl = static_cast<const char*>(
+        std::memchr(p, '\n', static_cast<size_t>(end - p)));
+    const char* term_end = nl ? nl : end;
+    const int64_t tlen = term_end - p;
+    if (tlen >= needle_len) {
+      const char* limit = term_end - needle_len;
+      for (const char* q = p; q <= limit; ++q) {
+        if (*q == first &&
+            std::memcmp(q, needle, static_cast<size_t>(needle_len)) == 0) {
+          if (count >= out_cap) return -1;
+          out_ids[count++] = term_id;
+          break;
+        }
+      }
+    }
+    ++term_id;
+    p = term_end + 1;
+  }
+  return count;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -51,6 +51,36 @@ class TestTokenizerParity:
             assert got == _tokenize_document_py(t)
 
 
+class TestSubstringScan:
+    def test_matches_numpy_char_find(self):
+        terms = [f"word{i}x" for i in range(500)] + [
+            "sock", "socks", "tubesocks", "wireless"
+        ]
+        blob = ("\n".join(terms) + "\n").encode()
+        arr = np.array(terms, dtype=np.str_)
+        for tok in ["sock", "word1", "zzz", "x", "wireless", "w"]:
+            ref = (np.char.find(arr, tok) >= 0).nonzero()[0] + 1
+            got = native.substring_scan_native(blob, tok)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_featurizer_parity(self):
+        from review_recommender_tpu.engine.featurize import QueryFeaturizer
+        from review_recommender_tpu.index.build import build_bundle_from_products
+        from tests.test_engine_parity import make_corpus
+
+        products, emb, _r, _re = make_corpus(n=48, dim=16, seed=9)
+        b = build_bundle_from_products(products, emb, pad_multiple=16,
+                                       doc_terms_cap=64)
+        f_nat = QueryFeaturizer(b.products)
+        assert f_nat._vocab_blob is not None
+        f_py = QueryFeaturizer(b.products)
+        f_py._vocab_blob = None  # force numpy path
+        for q in ["yellow cat socks", "wireless bluetooth headphones"]:
+            np.testing.assert_array_equal(
+                f_nat.featurize(q).pack(), f_py.featurize(q).pack()
+            )
+
+
 class TestPostingsBuild:
     def test_bit_exact_vs_python_build(self):
         from review_recommender_tpu.index.build import build_product_index
