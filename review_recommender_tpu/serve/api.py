@@ -19,6 +19,10 @@ Endpoints:
   POST /eval              {"queries": [{"query", "relevant_skus"}...],
                            ...engine knobs...} -> IR metrics (the
                           reference's BYO-dev-set Metrics tab, app:434-474)
+  POST /search_batch      {"queries": [...], "k": 10, shared fusion knobs}
+                          -> high-throughput path: ONE batched device
+                          program for the whole request (results carry sku
+                          + final score; use /search for signal breakdowns)
 
 Search parameters accept exactly the run_search surface
 (app/app_product_search.py:245-248 parity).
@@ -96,6 +100,58 @@ class SearchService:
             "took_ms": round(took, 3),
         }
 
+    def search_batch(self, payload: dict) -> dict:
+        """Batched retrieval: one vmapped device program for all queries."""
+        from review_recommender_tpu.config import config
+        from review_recommender_tpu.ops.fusion import FusionWeights
+
+        queries = payload.get("queries") or []
+        if not queries:
+            raise ValueError("missing 'queries'")
+        c = config
+        g = lambda name, dflt: payload.get(name, dflt)
+        k = int(g("k", c.DEFAULT_K))
+        pool = int(g("pool", max(k, c.DEFAULT_POOL_SIZE)))
+        w = FusionWeights.make(
+            g("w_dense", c.DEFAULT_W_DENSE), g("w_bm25", c.DEFAULT_W_BM25),
+            0.0,  # rerank is a per-query host hook; not on the batch path
+            g("w_prior", c.DEFAULT_W_PRIOR), g("w_best", c.DEFAULT_W_BEST),
+            g("prior_C", c.DEFAULT_PRIOR_C),
+            g("min_reviews", c.DEFAULT_MIN_REVIEWS),
+            g("gate_penalty", c.DEFAULT_GATE_PENALTY),
+        )
+        if "qvecs" in payload:
+            qvecs = np.asarray(payload["qvecs"], dtype=np.float32)
+        else:
+            enc = self.engine.query_encoder
+            if enc is None:
+                raise ValueError("no query encoder; pass 'qvecs'")
+            if hasattr(enc, "encode"):
+                qvecs = np.asarray(enc.encode(queries), dtype=np.float32)
+            else:
+                qvecs = np.stack([np.asarray(enc(q), np.float32)
+                                  for q in queries])
+        t0 = time.perf_counter()
+        rows, scores = self.engine.query_fused_batched(
+            qvecs, queries, w, pool, k,
+            use_snips=bool(g("use_snips", False)),
+        )
+        rows, scores = np.asarray(rows), np.asarray(scores)
+        took = (time.perf_counter() - t0) * 1e3
+        skus = self.engine.products.skus
+        results = []
+        for b in range(len(queries)):
+            results.append([
+                {"sku": skus[int(r)], "_final": float(s)}
+                for r, s in zip(rows[b], scores[b])
+                if np.isfinite(s)
+            ])
+        with self._lock:
+            self.stats["requests"] += len(queries)
+            self.stats["total_ms"] += took
+        return {"results": results, "took_ms": round(took, 3),
+                "batch": len(queries)}
+
     def evaluate(self, payload: dict) -> dict:
         """BYO dev-set eval: run the engine over judged queries."""
         from review_recommender_tpu.evals.metrics import IRMetrics
@@ -166,16 +222,18 @@ def make_handler(service: SearchService):
             else:
                 self._send(404, {"error": "not found"})
 
+        ROUTES = {"/search": "search", "/eval": "evaluate",
+                  "/search_batch": "search_batch"}
+
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/search", "/eval"):
+            handler_name = self.ROUTES.get(self.path)
+            if handler_name is None:
                 self._send(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                handler = (service.search if self.path == "/search"
-                           else service.evaluate)
-                self._send(200, handler(payload))
+                self._send(200, getattr(service, handler_name)(payload))
             except ValueError as e:
                 service.stats["errors"] += 1
                 self._send(400, {"error": str(e)})

@@ -126,6 +126,25 @@ class TestHTTP:
         code, body = _post(server + "/eval", {})
         assert code == 400 and "error" in body
 
+    def test_search_batch(self, server):
+        code, body = _post(server + "/search_batch", {
+            "queries": ["wireless headphones", "yellow socks",
+                        "kitchen knife"],
+            "k": 5,
+        })
+        assert code == 200
+        assert body["batch"] == 3
+        assert len(body["results"]) == 3
+        for per_q in body["results"]:
+            assert len(per_q) == 5
+            assert all("sku" in r and "_final" in r for r in per_q)
+            finals = [r["_final"] for r in per_q]
+            assert finals == sorted(finals, reverse=True)
+
+    def test_search_batch_missing_queries_400(self, server):
+        code, body = _post(server + "/search_batch", {})
+        assert code == 400 and "error" in body
+
 
 class TestAudit:
     def test_good_bundle_passes(self, bundle, tmp_path):
