@@ -42,7 +42,8 @@ from review_recommender_tpu.ops.dense import dense_scores
 from review_recommender_tpu.ops.fusion import FusionWeights, final_topk, fuse_candidates
 from review_recommender_tpu.ops.gate import gate_factors_device
 
-_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "float16": jnp.float16, "int8": jnp.bfloat16}
 
 
 def _pad_rows_to(arr: np.ndarray, n_rows: int) -> np.ndarray:
@@ -73,7 +74,9 @@ class ShardedSearchEngine:
         self.products: ProductIndex = bundle.products
         self.reviews = bundle.reviews
         self.axis = axis or config.MESH_AXIS
-        dtype = _DTYPES[emb_dtype or config.EMB_DTYPE]
+        raw_dtype = emb_dtype or config.EMB_DTYPE
+        self.int8_mode = raw_dtype == "int8"
+        dtype = _DTYPES[raw_dtype]
 
         if mesh is None:
             n = n_shards or config.MESH_SHARDS
@@ -91,7 +94,7 @@ class ShardedSearchEngine:
         self.n_docs = prod.n_docs
         self._local_rows = per
 
-        host = prod.device_arrays(dtype)  # numpy->jnp conversion w/ dtypes
+        host = prod.device_arrays(dtype, quantize_int8=self.int8_mode)
         shard = NamedSharding(mesh, P(self.axis))
 
         def place(name, arr):
@@ -136,15 +139,23 @@ class ShardedSearchEngine:
         return self._fused_block(a, rev, qvec, *feats, w, use_snips,
                                  pool=pool, k=k)
 
+    def _local_dense_scores(self, a, qvec):
+        if "emb_q" in a:
+            from review_recommender_tpu.ops.dense import dense_scores_int8
+
+            return dense_scores_int8(a["emb_q"], a["emb_scale"], qvec,
+                                     a["valid"])
+        return dense_scores(a["emb"], qvec, a["valid"])
+
     def _fused_block(self, a, rev, qvec, q_terms, q_idf, gp_mask, gt_ids,
                      g_valid, w, use_snips, *, pool, k):
         """Per-device body under shard_map. `a` holds LOCAL rows."""
         ax = self.axis
-        local_n = a["emb"].shape[0]
+        local_n = a["valid"].shape[0]
         offset = jax.lax.axis_index(ax) * local_n
 
         # local dense scores -> local top-pool
-        sims = dense_scores(a["emb"], qvec, a["valid"])
+        sims = self._local_dense_scores(a, qvec)
         p_local = min(pool, local_n)
         l_scores, l_idx = jax.lax.top_k(sims, p_local)
         g_idx = l_idx + offset
@@ -229,11 +240,11 @@ class ShardedSearchEngine:
         scores, pos = final_topk(res, min(k, Pp))
         return jnp.take(pool_gidx, pos), scores
 
-    def _dense_block(self, emb, valid, qvec, *, k):
+    def _dense_block(self, a, qvec, *, k):
         ax = self.axis
-        local_n = emb.shape[0]
+        local_n = a["valid"].shape[0]
         offset = jax.lax.axis_index(ax) * local_n
-        sims = dense_scores(emb, qvec, valid)
+        sims = self._local_dense_scores(a, qvec)
         kl = min(k, local_n)
         s, i = jax.lax.top_k(sims, kl)
         all_s = jax.lax.all_gather(s, ax).reshape(-1)
@@ -287,9 +298,12 @@ class ShardedSearchEngine:
             ax = self.axis
             sh, rep = P(ax), P()
             if kind == "dense":
+                emb_keys = [n for n in ("emb", "emb_q", "emb_scale", "valid")
+                            if n in self.arrays]
                 fn = jax.shard_map(
                     functools.partial(self._dense_block, k=k),
-                    mesh=self.mesh, in_specs=(sh, sh, rep),
+                    mesh=self.mesh,
+                    in_specs=({n: sh for n in emb_keys}, rep),
                     out_specs=(rep, rep), check_vma=False,
                 )
             else:
@@ -360,8 +374,10 @@ class ShardedSearchEngine:
 
     def dense_topk(self, qvec, k: int):
         fn = self._get_simple("dense", k)
-        idx, scores = fn(self.arrays["emb"], self.arrays["valid"],
-                         jnp.asarray(qvec, jnp.float32))
+        emb_arrays = {n: self.arrays[n]
+                      for n in ("emb", "emb_q", "emb_scale", "valid")
+                      if n in self.arrays}
+        idx, scores = fn(emb_arrays, jnp.asarray(qvec, jnp.float32))
         return idx, scores
 
     def bm25_topk(self, query: str, k: int):

@@ -80,8 +80,22 @@ def test_int8_plus_eager_plus_e2e_rerank(full_bundle):
     assert overlap >= 4
 
 
-def test_sharded_int8_unsupported_gracefully():
-    # sharded engine supports f32/bf16; int8 should raise a clear KeyError
-    from review_recommender_tpu.parallel.sharded import _DTYPES
+def test_sharded_int8(full_bundle):
+    import jax
 
-    assert "int8" not in _DTYPES
+    from review_recommender_tpu.parallel.sharded import ShardedSearchEngine
+
+    bundle, be, _ce = full_bundle
+    s8 = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="int8")
+    assert "emb_q" in s8.arrays
+    sf = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+    rng = np.random.default_rng(5)
+    qv = rng.standard_normal(64).astype(np.float32)
+    qv /= np.linalg.norm(qv)
+    r8, sc8 = s8.query_fused(qv, "wireless headphones", W, pool=16, k=8)
+    rf, scf = sf.query_fused(qv, "wireless headphones", W, pool=16, k=8)
+    overlap = len(set(np.asarray(r8).tolist()) & set(np.asarray(rf).tolist()))
+    assert overlap >= 6  # int8 quantization may swap near-ties
+    i8, d8 = s8.dense_topk(qv, k=8)
+    if_, df_ = sf.dense_topk(qv, k=8)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(df_), atol=0.03)
