@@ -7,10 +7,10 @@ the BiEncoder's bucketed jitted forward keeps the MXU busy with batch-256
 bf16 matmuls, and each completed shard is flushed to its own .npy so a
 killed job resumes at the first missing shard (idempotent, crash-safe).
 
-For multi-chip offline builds, pass a positive `dp_devices`: the job
-pmap-style splits each batch across chips via jax.device_put_sharded on the
-batch axis (pure data parallelism — the right strategy for an embarrassingly
-parallel encode; SURVEY.md §2c).
+For multi-chip offline builds, construct the encoder with a mesh
+(`BiEncoder(..., mesh=Mesh(jax.devices(), ("dp",)))`): its jitted forward
+shards the batch axis across the chips — pure data parallelism, the right
+strategy for an embarrassingly parallel encode (SURVEY.md §2c).
 """
 from __future__ import annotations
 

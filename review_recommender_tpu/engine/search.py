@@ -435,22 +435,29 @@ class SearchEngine:
             c.DEFAULT_GATE_PENALTY if gate_penalty is None else gate_penalty,
         )
 
+        from review_recommender_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
         if qvec is None:
-            qvec = self.encode_query(query)
+            with timer.stage("encode_query"):
+                qvec = self.encode_query(query)
         qvec = jnp.asarray(qvec, dtype=jnp.float32)
 
-        qf = self.featurizer.featurize(query)
+        with timer.stage("featurize"):
+            qf = self.featurizer.featurize(query)
         pool = max(k, rerank_k, c.DEFAULT_POOL_SIZE)
         pool = min(pool, self.products.n_padded)
 
-        st = self._stage_a(
-            self.arrays, qvec,
-            jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
-            jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
-            jnp.asarray(qf.group_valid),
-            pool=pool,
-        )
-        idx = np.asarray(st["idx"])
+        with timer.stage("retrieve"):
+            st = self._stage_a(
+                self.arrays, qvec,
+                jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf),
+                jnp.asarray(qf.group_phrase_mask),
+                jnp.asarray(qf.group_term_ids),
+                jnp.asarray(qf.group_valid),
+                pool=pool,
+            )
+            idx = np.asarray(st["idx"])
         cand_valid_h = np.asarray(st["cand_valid"])
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
@@ -466,9 +473,10 @@ class SearchEngine:
             rr_k = min(rerank_k, n_cand)
             if rr_k > 0:
                 texts = [t[:2000] for t in cand_texts[:rr_k]]
-                scores = np.asarray(
-                    self.cross_encoder(query, texts), dtype=np.float32
-                )
+                with timer.stage("rerank"):
+                    scores = np.asarray(
+                        self.cross_encoder(query, texts), dtype=np.float32
+                    )
                 rerank_raw[:rr_k] = scores
                 rerank_mask[:rr_k] = True
         elif rerank_k > 0:
@@ -506,6 +514,8 @@ class SearchEngine:
             if has_snips:
                 snips = self._snippet_texts(qvec, cand_rows, best_full)
 
+        timer_fuse = timer.stage("fuse")
+        timer_fuse.__enter__()
         res, scores, pos = self._stage_b(
             st,
             jnp.asarray(rerank_raw), jnp.asarray(rerank_mask),
@@ -514,6 +524,7 @@ class SearchEngine:
         )
         pos = np.asarray(pos)
         scores = np.asarray(scores)
+        timer_fuse.__exit__(None, None, None)
         keep = [p for p, s in zip(pos, scores) if math.isfinite(s)]
 
         rows = []
@@ -544,6 +555,8 @@ class SearchEngine:
             "pool": pool,
             "gate_mode": self.gate_mode,
             "n_candidates": n_cand,
+            "stage_ms": {name: v["total_ms"]
+                         for name, v in timer.summary().items()},
         }
         return df, snips, debug
 

@@ -42,17 +42,38 @@ class BiEncoder:
     """Query/document embedding tower (bge-small semantics: CLS + L2-norm)."""
 
     def __init__(self, cfg: BertConfig, params, tokenizer, *,
-                 dtype=jnp.bfloat16, pooling: str = "cls", max_len: int = 512):
+                 dtype=jnp.bfloat16, pooling: str = "cls", max_len: int = 512,
+                 mesh=None):
+        """mesh: optional 1-D jax.sharding.Mesh — offline encode jobs shard
+        the batch axis across it (pure data parallelism; params replicate).
+        Batch buckets are multiples of the mesh size, so every chip gets an
+        equal slice."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_len = max_len
         self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling)
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, ids, mask, tt: self.model.apply(
-                {"params": p}, ids, mask, tt
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            batch_sharding = NamedSharding(mesh, P(axis))
+            self._fwd = jax.jit(
+                lambda p, ids, mask, tt: self.model.apply(
+                    {"params": p}, ids, mask, tt
+                ),
+                in_shardings=(None, batch_sharding, batch_sharding,
+                              batch_sharding),
             )
-        )
+            self._batch_multiple = int(mesh.shape[axis])
+        else:
+            self._fwd = jax.jit(
+                lambda p, ids, mask, tt: self.model.apply(
+                    {"params": p}, ids, mask, tt
+                )
+            )
+            self._batch_multiple = 1
 
     @classmethod
     def random_init(cls, cfg: Optional[BertConfig] = None, tokenizer=None,
@@ -91,6 +112,8 @@ class BiEncoder:
             )
             seq = min(pad_bucket(ids.shape[1], SEQ_BUCKETS), self.max_len)
             bsz = _batch_bucket(len(chunk))
+            m = self._batch_multiple
+            bsz = ((bsz + m - 1) // m) * m  # equal per-chip slices on a mesh
             ids_p = np.zeros((bsz, seq), np.int32)
             mask_p = np.zeros((bsz, seq), np.int32)
             tt_p = np.zeros((bsz, seq), np.int32)

@@ -1,0 +1,122 @@
+"""Training-pair mining and batch iteration for contrastive fine-tuning.
+
+The reference has no training, so it also has no training data story. This
+module mines (query, positive-document) pairs straight from the review
+corpus — the standard weak-supervision recipe for domain-adapting a
+retrieval tower:
+
+  query    = keyword sample from ONE review of a product (what a user who
+             liked exactly this product might type)
+  positive = the product's agg_text (what the index stores)
+
+In-batch negatives come for free from the InfoNCE loss
+(train/contrastive.py). Deterministic in `seed` end to end.
+"""
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_WORD = re.compile(r"[a-z]{3,}")
+_GENERIC = {
+    "the", "and", "this", "that", "with", "for", "was", "are", "but",
+    "have", "has", "had", "not", "very", "really", "just", "great", "good",
+    "nice", "love", "like", "would", "recommend", "product", "item",
+}
+
+
+def mine_pairs(
+    review_texts: Sequence[str],
+    review_skus: Sequence[str],
+    product_skus: Sequence[str],
+    product_texts: Sequence[str],
+    *,
+    keywords_per_query: int = 4,
+    max_pairs_per_product: int = 4,
+    seed: int = 0,
+) -> List[Tuple[str, str]]:
+    """(query, positive) pairs: keyword queries from reviews, positives from
+    the owning product's indexed text."""
+    rng = np.random.default_rng(seed)
+    by_sku = dict(zip([str(s) for s in product_skus], product_texts))
+    counts: dict = {}
+    pairs: List[Tuple[str, str]] = []
+    order = rng.permutation(len(review_texts))
+    for i in order:
+        sku = str(review_skus[i])
+        doc = by_sku.get(sku)
+        if doc is None or counts.get(sku, 0) >= max_pairs_per_product:
+            continue
+        words = [w for w in _WORD.findall(str(review_texts[i]).lower())
+                 if w not in _GENERIC]
+        uniq: List[str] = []
+        for w in words:
+            if w not in uniq:
+                uniq.append(w)
+        if len(uniq) < keywords_per_query:
+            continue
+        pick = rng.choice(len(uniq), size=keywords_per_query, replace=False)
+        query = " ".join(uniq[j] for j in sorted(pick))
+        pairs.append((query, str(doc)))
+        counts[sku] = counts.get(sku, 0) + 1
+    return pairs
+
+
+def iterate_batches(
+    pairs: Sequence[Tuple[str, str]],
+    tokenizer,
+    batch_size: int,
+    *,
+    max_len: int = 128,
+    seed: int = 0,
+    epochs: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[tuple]:
+    """Shuffled token batches (q_ids, q_mask, d_ids, d_mask) for the trainer.
+    Fixed pad width => one compiled train step."""
+    from review_recommender_tpu.train.contrastive import make_pair_batch
+
+    rng = np.random.default_rng(seed)
+    n = len(pairs)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for lo in range(0, n, batch_size):
+            sel = order[lo : lo + batch_size]
+            if drop_remainder and len(sel) < batch_size:
+                break
+            qs = [pairs[i][0] for i in sel]
+            ds = [pairs[i][1] for i in sel]
+            yield make_pair_batch(tokenizer, qs, ds, max_len=max_len,
+                                  pad_to=max_len)
+
+
+def train_biencoder(
+    trainer,
+    pairs: Sequence[Tuple[str, str]],
+    tokenizer,
+    *,
+    batch_size: int = 32,
+    epochs: int = 1,
+    max_len: int = 128,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    log_every: int = 50,
+) -> List[dict]:
+    """Epoch loop over mined pairs; checkpoints at each epoch end.
+    Returns the per-step metrics history."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    history: List[dict] = []
+    for batch in iterate_batches(pairs, tokenizer, batch_size,
+                                 max_len=max_len, seed=seed, epochs=epochs):
+        m = trainer.train_step(*batch)
+        history.append(m)
+        if log_every and m["step"] % log_every == 0:
+            logger.info("step %d loss %.4f acc %.3f", m["step"], m["loss"],
+                        m["in_batch_acc"])
+    if checkpoint_path is not None:
+        trainer.save(checkpoint_path)
+    return history

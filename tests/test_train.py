@@ -87,6 +87,49 @@ def test_remat_matches_no_remat(setup):
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
 
 
+def test_pair_mining_and_training_loop(setup, tmp_path):
+    from review_recommender_tpu.models.tokenizer import HashTokenizer
+    from review_recommender_tpu.train.data import (
+        iterate_batches,
+        mine_pairs,
+        train_biencoder,
+    )
+
+    cfg, params, _batch = setup
+    rng = np.random.default_rng(0)
+    product_skus = [f"P{i}" for i in range(6)]
+    product_texts = [f"product {i} wireless headphone excellent bass sound "
+                     f"battery comfort feature{i}" for i in range(6)]
+    review_skus, review_texts = [], []
+    for i in range(6):
+        for j in range(5):
+            review_skus.append(f"P{i}")
+            review_texts.append(
+                f"bought feature{i} headphone bass sound battery works "
+                f"comfort number{j} detail{i}{j} quality"
+            )
+    pairs = mine_pairs(review_texts, review_skus, product_skus, product_texts,
+                       max_pairs_per_product=2, seed=1)
+    assert 6 <= len(pairs) <= 12
+    # query keywords come from the review, positive is the product text
+    for q, d in pairs:
+        assert d.startswith("product ")
+        assert len(q.split()) == 4
+
+    # batches have fixed shapes; training runs and checkpoints
+    tok = HashTokenizer(vocab_size=512)
+    batches = list(iterate_batches(pairs, tok, batch_size=4, max_len=32,
+                                   epochs=2))
+    assert all(b[0].shape == (4, 32) for b in batches)
+
+    tr = ContrastiveTrainer(cfg, params, dtype=jnp.float32,
+                            train_cfg=TrainConfig(learning_rate=1e-3))
+    hist = train_biencoder(tr, pairs, tok, batch_size=4, epochs=1,
+                           max_len=32, checkpoint_path=tmp_path / "ck.msgpack")
+    assert len(hist) >= 1 and np.isfinite(hist[-1]["loss"])
+    assert (tmp_path / "ck.msgpack").exists()
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     cfg, params, batch = setup
     tr = ContrastiveTrainer(cfg, params, dtype=jnp.float32)
