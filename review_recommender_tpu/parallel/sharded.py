@@ -53,6 +53,10 @@ def _pad_rows_to(arr: np.ndarray, n_rows: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+_BREAKDOWN_FIELDS = ("dense", "bm25", "rerank", "prior", "best", "trust",
+                     "gate", "n_reviews", "avg_stars")
+
+
 class ShardedSearchEngine:
     """The hybrid engine over a corpus sharded across `n_shards` devices.
 
@@ -238,7 +242,14 @@ class ShardedSearchEngine:
             gate, cand_valid, w,
         )
         scores, pos = final_topk(res, min(k, Pp))
-        return jnp.take(pool_gidx, pos), scores
+        breakdown = {
+            name: jnp.take(getattr(res, name), pos)
+            for name in ("dense", "bm25", "rerank", "prior", "best",
+                         "trust", "gate")
+        }
+        breakdown["n_reviews"] = jnp.take(n_reviews, pos)
+        breakdown["avg_stars"] = jnp.take(avg_stars, pos)
+        return jnp.take(pool_gidx, pos), scores, breakdown
 
     def _dense_block(self, a, qvec, *, k):
         ax = self.axis
@@ -285,9 +296,12 @@ class ShardedSearchEngine:
             body = functools.partial(self._fused_block_packed, pool=pool, k=k)
             in_specs = (a_specs, rev_specs, rep, rep,
                         jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
+            bd = {name: rep for name in ("dense", "bm25", "rerank", "prior",
+                                         "best", "trust", "gate",
+                                         "n_reviews", "avg_stars")}
             fn = jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
-                out_specs=(rep, rep), check_vma=False,
+                out_specs=(rep, rep, bd), check_vma=False,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -335,8 +349,12 @@ class ShardedSearchEngine:
 
             in_specs = (a_specs, rev_specs, rep, rep,
                         jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
-            fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
-                               out_specs=(rep, rep), check_vma=False)
+            fn = jax.shard_map(
+                body, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(rep, rep,
+                           {name: rep for name in _BREAKDOWN_FIELDS}),
+                check_vma=False,
+            )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
@@ -351,12 +369,13 @@ class ShardedSearchEngine:
             [self.featurizer.featurize(q).pack() for q in queries]
         )
         fn = self._get_fused_batch(len(queries), pool, k)
-        return fn(
+        rows, scores, _bd = fn(
             self.arrays, self.rev_arrays,
             jnp.asarray(np.asarray(qvecs, np.float32)),
             jnp.asarray(packed),
             w, jnp.bool_(use_snips),
         )
+        return rows, scores
 
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
                     use_snips: bool = False):
@@ -365,12 +384,57 @@ class ShardedSearchEngine:
         mesh as ONE packed buffer."""
         packed = self.featurizer.featurize(query).pack()
         fn = self._get_fused(pool, k)
-        return fn(
+        rows, scores, _bd = fn(
             self.arrays, self.rev_arrays,
             jnp.asarray(qvec, jnp.float32),
             jnp.asarray(packed),
             w, jnp.bool_(use_snips),
         )
+        return rows, scores
+
+    def run_search(self, query: str, qvec, k: int = 10, *,
+                   w: Optional[FusionWeights] = None, pool: int = 150,
+                   use_snips: bool = False, **weight_kwargs):
+        """DataFrame-level search on the mesh: same row schema as the
+        single-chip SearchEngine.run_search (sku, n_reviews, avg_stars,
+        agg_text, per-signal columns, _final), minus the host-hook features
+        (cross-encoder rerank and snippet texts — use the single-chip engine
+        for those)."""
+        import pandas as pd
+
+        if w is None:
+            w = FusionWeights.make(**weight_kwargs) if weight_kwargs \
+                else FusionWeights.make()
+        packed = self.featurizer.featurize(query).pack()
+        fn = self._get_fused(min(pool, int(self.arrays["valid"].shape[0])), k)
+        rows, scores, bd = fn(
+            self.arrays, self.rev_arrays,
+            jnp.asarray(np.asarray(qvec, np.float32)),
+            jnp.asarray(packed), w, jnp.bool_(use_snips),
+        )
+        rows = np.asarray(rows)
+        scores = np.asarray(scores)
+        bd = {n: np.asarray(v) for n, v in bd.items()}
+        out = []
+        for rank, (r, s) in enumerate(zip(rows, scores)):
+            if not np.isfinite(s):
+                break
+            r = int(r)
+            out.append({
+                "sku": self.products.skus[r],
+                "n_reviews": float(bd["n_reviews"][rank]),
+                "avg_stars": float(bd["avg_stars"][rank]),
+                "agg_text": self.products.agg_texts[r],
+                "_dense": float(bd["dense"][rank]),
+                "_bm25": float(bd["bm25"][rank]),
+                "_rerank": float(bd["rerank"][rank]),
+                "_prior": float(bd["prior"][rank]),
+                "_best": float(bd["best"][rank]),
+                "_trust": float(bd["trust"][rank]),
+                "_gate": float(bd["gate"][rank]),
+                "_final": float(s),
+            })
+        return pd.DataFrame(out)
 
     def dense_topk(self, qvec, k: int):
         fn = self._get_simple("dense", k)

@@ -123,6 +123,30 @@ class TestFusedSharded:
             np.testing.assert_allclose(sb[i], np.asarray(s1), rtol=1e-5,
                                        atol=1e-6)
 
+    def test_run_search_dataframe_matches_single_chip(self, single, sharded):
+        q = _qvec(61)
+        kwargs = dict(w_dense=0.5, w_bm25=0.3, w_prior=0.2, min_reviews=5,
+                      gate_penalty=0.3)
+        # pool must match the single-chip default (max(k, rerank_k, 150),
+        # clipped to the corpus) — min-max statistics are pool-dependent
+        df_m = sharded.run_search("yellow cat socks", q, k=8, pool=150,
+                                  **kwargs)
+        df_s, _snips, _dbg = single.run_search(
+            "yellow cat socks", qvec=q, k=8, rerank_k=0, w_rerank=0.0,
+            w_best=0.0, prior_C=20.0, **kwargs,
+        )
+        for col in ("sku", "_dense", "_bm25", "_prior", "_trust", "_gate",
+                    "_final", "n_reviews", "avg_stars", "agg_text"):
+            assert col in df_m.columns
+        np.testing.assert_allclose(
+            df_m["_final"].to_numpy(), df_s["_final"].to_numpy(),
+            rtol=2e-4, atol=2e-5,
+        )
+        # near-tie swaps only
+        for i, (a, b) in enumerate(zip(df_m["sku"], df_s["sku"])):
+            if a != b:
+                assert abs(df_m["_final"][i] - df_s["_final"][i]) < 1e-4
+
     def test_snippet_signal(self, single, sharded):
         q = _qvec(31)
         w = FusionWeights.make(
