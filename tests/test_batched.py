@@ -45,6 +45,39 @@ def test_batched_matches_single(engine):
                 assert abs(s1[j] - sb[i][j]) < 1e-3
 
 
+def test_batched_with_snippets_matches_single():
+    from tests.test_engine_parity import make_corpus
+
+    products, emb, reviews, remb = make_corpus(n=32, dim=32, seed=19)
+    bundle = build_bundle_from_products(
+        products, emb, reviews=reviews, review_embeddings=remb,
+        pad_multiple=8, doc_terms_cap=32,
+    )
+    eng = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    rng = np.random.default_rng(2)
+    qvecs = rng.standard_normal((3, 32)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    queries = ["yellow socks", "wireless headphones", "kitchen knife"]
+    w = FusionWeights.make(w_dense=0.6, w_best=0.3, w_bm25=0.1,
+                           min_reviews=1, gate_penalty=1.0)
+    rb, sb = eng.query_fused_batched(qvecs, queries, w, pool=32, k=8,
+                                     use_snips=True)
+    for i, q in enumerate(queries):
+        r1, s1 = eng.query_fused(qvecs[i], q, w, pool=32, k=8, use_snips=True)
+        np.testing.assert_allclose(np.asarray(sb)[i], np.asarray(s1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stage_timing_in_debug(engine):
+    rng = np.random.default_rng(3)
+    qv = rng.standard_normal(32).astype(np.float32)
+    _df, _s, dbg = engine.run_search("wireless keyboard", qvec=qv, k=5,
+                                     rerank_k=0)
+    assert "stage_ms" in dbg
+    assert {"featurize", "retrieve", "fuse"} <= set(dbg["stage_ms"])
+    assert all(v >= 0 for v in dbg["stage_ms"].values())
+
+
 def test_batched_sorted_and_valid(engine):
     rng = np.random.default_rng(1)
     qvecs = rng.standard_normal((2, 32)).astype(np.float32)

@@ -2,6 +2,26 @@
 import importlib
 import os
 
+import pytest as _pytest
+
+
+def test_new_round1_knobs_defaults():
+    from review_recommender_tpu.config import Config
+
+    assert Config.EMB_MODEL_DIR == ""
+    assert Config.RERANK_MODEL_DIR == ""
+    assert Config.EMB_DTYPE in ("bfloat16", "float32", "float16", "int8")
+
+
+def test_int8_dtype_validates(monkeypatch):
+    from review_recommender_tpu.config import Config
+
+    monkeypatch.setattr(Config, "EMB_DTYPE", "int8")
+    Config.validate()
+    monkeypatch.setattr(Config, "EMB_DTYPE", "int4")
+    with _pytest.raises(ValueError):
+        Config.validate()
+
 import pytest
 
 
