@@ -68,10 +68,14 @@ class Config:
     )
     LOG_FILE = os.getenv("LOG_FILE", "logs/app.log")
 
-    # Performance settings (reference config.py:52-55)
+    # Performance settings (reference config.py:52-55).
+    # MAX_REVIEWS_SCAN is the snippet-scan cap used when a caller opts into
+    # the exact host path via run_search(max_scan=-1); the default device
+    # path scans everything (engine/search.py docstring). The reference's
+    # CACHE_TTL has no equivalent here (nothing is TTL-cached) and was
+    # deliberately dropped.
     MAX_REVIEWS_SCAN = _env_int("MAX_REVIEWS_SCAN", "300000")
     DEFAULT_POOL_SIZE = _env_int("DEFAULT_POOL_SIZE", "150")
-    CACHE_TTL = _env_int("CACHE_TTL", "3600")
 
     # Feature flags (reference config.py:58-61)
     ENABLE_BM25 = _env_bool("ENABLE_BM25", "true")
@@ -109,7 +113,9 @@ class Config:
     MESH_AXIS = os.getenv("MESH_AXIS", "shards")
     # Use Pallas kernels where available ("true") vs plain XLA ops.
     USE_PALLAS = _env_bool("USE_PALLAS", "true")
-    # Max (padded) reviews scanned per product for the snippet segment-max.
+    # Max reviews kept per product at snippet-index build time
+    # (data/prep.py:filter_reviews_for_snippets) — bounds the review-index
+    # HBM footprint. 0 disables the cap.
     SNIPPET_REVIEWS_CAP = _env_int("SNIPPET_REVIEWS_CAP", "256")
 
     # Security settings (reference config.py:74-77)

@@ -40,6 +40,36 @@ from review_recommender_tpu.index.schema import IndexBundle
 
 logger = logging.getLogger(__name__)
 
+#: globals a legitimate product_bm25.pkl may reference ({skus, corpus,
+#: tokenizer} of builtins, possibly numpy scalars/arrays for skus). pickle
+#: executes arbitrary code via arbitrary find_class, so everything else is
+#: refused (ADVICE: untrusted artifact imports must not compromise the host).
+_PICKLE_ALLOWED = {
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler for the reference's product_bm25.pkl: builtins + a numpy
+    allowlist only; any other global raises instead of importing."""
+
+    def find_class(self, module, name):
+        if (module, name) in _PICKLE_ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name}: product_bm25.pkl "
+            "should contain only builtins/numpy ({skus, corpus, tokenizer})"
+        )
+
+
+def _load_bm25_pickle(f) -> dict:
+    return _RestrictedUnpickler(f).load()
+
 
 def build_index_from_reviews(
     reviews: pd.DataFrame,
@@ -72,6 +102,7 @@ def build_index_from_reviews(
         products["avg_stars"].tolist(),
         prod_emb,
         doc_terms_cap=doc_terms_cap,
+        last_ts=products["last_ts"].tolist() if "last_ts" in products else None,
     )
     if eager_bm25:
         from review_recommender_tpu.index.build import attach_eager_bm25
@@ -123,15 +154,23 @@ def import_reference_artifacts(
       meta_parquet    sku, n_reviews, avg_stars, last_ts, agg_text
       bm25_pkl        pickle {skus, corpus: [[tok]], tokenizer}
       reviews_parquet id, sku, ts, stars, text, embedding(list<f32>)
+
+    Every path may be a local file or an fsspec URL (hf://datasets/...),
+    matching the reference's production artifact transport
+    (reference config.py:34-35, app_product_search.py:94-101). The pickle is
+    parsed with a restricted unpickler (builtins + numpy allowlist only).
     """
-    emb = np.load(emb_npy)
+    from review_recommender_tpu.index.io import open_artifact
+
+    with open_artifact(emb_npy) as f:
+        emb = np.load(f)
     meta = pd.read_parquet(meta_parquet)
     assert len(meta) == emb.shape[0], (len(meta), emb.shape)
 
     token_lists = None
     if bm25_pkl is not None:
-        with open(bm25_pkl, "rb") as f:
-            blob = pickle.load(f)
+        with open_artifact(bm25_pkl) as f:
+            blob = _load_bm25_pickle(f)
         corpus, b_skus = blob.get("corpus"), [str(s) for s in blob.get("skus", [])]
         sku_order = [str(s) for s in meta["sku"].tolist()]
         if b_skus and b_skus != sku_order:
@@ -148,6 +187,10 @@ def import_reference_artifacts(
         emb,
         doc_terms_cap=doc_terms_cap,
         token_lists=token_lists,
+        last_ts=(
+            meta["last_ts"].astype(str).tolist()
+            if "last_ts" in meta.columns else None
+        ),
     )
 
     ridx = None

@@ -76,12 +76,29 @@ def looks_spammy(text: str) -> bool:
     return bool(_URL.search(t) or _PROMO.search(t) or _REPEAT.search(t))
 
 
-def filter_reviews_for_snippets(reviews: pd.DataFrame) -> pd.DataFrame:
-    """Spam filter + (sku, text) dedup for the review-embedding job."""
+def filter_reviews_for_snippets(
+    reviews: pd.DataFrame, per_sku_cap: Optional[int] = None
+) -> pd.DataFrame:
+    """Spam filter + (sku, text) dedup for the review-embedding job.
+
+    per_sku_cap (default config.SNIPPET_REVIEWS_CAP) bounds reviews kept per
+    product — newest first, so the snippet index stays HBM-bounded on
+    review-heavy SKUs. 0 disables the cap."""
+    if per_sku_cap is None:
+        from review_recommender_tpu.config import config
+
+        per_sku_cap = config.SNIPPET_REVIEWS_CAP
     df = reviews.copy()
     df["text"] = df["text"].astype(str)
     keep = ~df["text"].map(looks_spammy)
     df = df[keep]
     df["_norm"] = df["text"].map(normalize_text)
     df = df.drop_duplicates(subset=["sku", "_norm"], keep="first")
-    return df.drop(columns=["_norm"])
+    df = df.drop(columns=["_norm"])
+    if per_sku_cap and per_sku_cap > 0:
+        df["_ts_sort"] = df.get("ts", pd.Series([""] * len(df), index=df.index)).fillna("")
+        df = df.sort_values(["sku", "_ts_sort"], ascending=[True, False],
+                            kind="stable")
+        df = df[df.groupby("sku").cumcount() < per_sku_cap]
+        df = df.drop(columns=["_ts_sort"]).sort_index()
+    return df

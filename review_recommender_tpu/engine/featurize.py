@@ -15,11 +15,11 @@ token; nothing here touches the device.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Set
 
 import numpy as np
 
+from review_recommender_tpu.config import config
 from review_recommender_tpu.index.schema import ProductIndex
 from review_recommender_tpu.utils.text import (
     GATE_PHRASE_ID,
@@ -90,6 +90,11 @@ class QueryFeaturizer:
         self.index = index
         self.query_terms_cap = query_terms_cap
         self.gate_terms_cap = gate_terms_cap
+        # Per-instance token-expansion cache (NOT functools.lru_cache on the
+        # bound method: that would key on `self` in a process-global table and
+        # pin the whole index alive after an index reload in a long server).
+        self._expand_cache: dict = {}
+        self._expand_cache_cap = 65536
         # Vectorized substring scan structures over the index vocabulary.
         terms = sorted(index.vocab.items(), key=lambda kv: kv[1])
         self._vocab_terms = np.array([t for t, _ in terms], dtype=np.str_)
@@ -110,12 +115,14 @@ class QueryFeaturizer:
         except Exception:
             pass
 
-    @functools.lru_cache(maxsize=65536)
     def _expand_token(self, token: str) -> np.ndarray:
         """Index-vocab term ids containing `token` as a substring, most
         frequent (by document frequency) first, capped at gate_terms_cap.
-        LRU-cached: real query streams repeat tokens heavily and the
-        vectorized vocab scan is the single most expensive host step."""
+        Cached per instance: real query streams repeat tokens heavily and
+        the vocab scan is the single most expensive host step."""
+        hit = self._expand_cache.get(token)
+        if hit is not None:
+            return hit
         if len(self._vocab_terms) == 0:
             return np.zeros(0, np.int32)
         if self._vocab_blob is not None:
@@ -127,19 +134,27 @@ class QueryFeaturizer:
             dfs = self.index.df[ids]
             order = np.argsort(-dfs, kind="stable")[: self.gate_terms_cap]
             ids = ids[order]
-        return ids.astype(np.int32)
+        ids = ids.astype(np.int32)
+        if len(self._expand_cache) >= self._expand_cache_cap:
+            self._expand_cache.clear()
+        self._expand_cache[token] = ids
+        return ids
 
     def featurize(self, query: str) -> QueryFeatures:
         tokens = tokenize_query(query)
 
         # --- BM25 term ids (duplicates preserved) ---
+        # ENABLE_BM25=false zero-fills the term lanes, which zeroes the BM25
+        # signal in every query program (the reference's per-signal
+        # degradation, app_product_search.py:119-149) without recompiling.
         Q = self.query_terms_cap
         q_terms = np.zeros(Q, dtype=np.int32)
         q_idf = np.zeros(Q, dtype=np.float32)
-        for i, tok in enumerate(tokens[:Q]):
-            tid = self.index.vocab.get(tok, 0)
-            q_terms[i] = tid
-            q_idf[i] = self.index.idf[tid] if tid else 0.0
+        if config.ENABLE_BM25:
+            for i, tok in enumerate(tokens[:Q]):
+                tid = self.index.vocab.get(tok, 0)
+                q_terms[i] = tid
+                q_idf[i] = self.index.idf[tid] if tid else 0.0
 
         # --- gate groups ---
         groups = build_gate_groups(query)

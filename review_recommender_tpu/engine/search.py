@@ -311,6 +311,8 @@ class SearchEngine:
         attach_rerank_tokens. Returns (row ids (k,), scores (k,))."""
         if not hasattr(self, "_e2e"):
             raise RuntimeError("call attach_models(biencoder[, crossencoder]) first")
+        if not config.ENABLE_RERANKING:
+            rr_k = 0
         if rr_k > 0 and "doc_tokens" not in self.arrays:
             raise RuntimeError(
                 "index has no doc_tokens; build with attach_rerank_tokens()"
@@ -370,6 +372,7 @@ class SearchEngine:
                             pool: int, k: int, use_snips: bool = False):
         """Batched single-program hybrid search (no rerank): qvecs (B, D),
         B query strings -> (row ids (B, k), scores (B, k))."""
+        use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
         packed = np.stack(
             [self.featurizer.featurize(q).pack() for q in queries]
         )
@@ -406,7 +409,7 @@ class SearchEngine:
         w_best: float = None,
         prior_C: float = None,
         use_snips: bool = False,
-        max_scan: int = 0,  # accepted for parity; device path scans all reviews
+        max_scan: int = 0,  # 0 = full device scan; >0 / -1 = exact host mode
         min_reviews: int = None,
         gate_penalty: float = None,
         qvec: Optional[np.ndarray] = None,
@@ -414,13 +417,14 @@ class SearchEngine:
         """Hybrid search. Returns (DataFrame, snippets, debug) like the
         reference run_search (app/app_product_search.py:245-317).
 
-        Deliberate deviation: `max_scan` is accepted but not used to
-        truncate the snippet scan. The reference caps scanned review rows at
-        max_scan (default 300k) because its numpy path is CPU-bound
-        (app:320-346); the device segment-max reads ALL review embeddings in
-        one HBM sweep at a fraction of the reference's per-row cost, so
-        truncating would only lose recall. Set use_snips=False to skip the
-        signal entirely."""
+        `max_scan` semantics: the default (0) scans ALL review embeddings in
+        one device HBM sweep — the reference caps scanned rows at max_scan
+        (default 300k) only because its numpy path is CPU-bound
+        (app:320-346), so truncating here would only lose recall. Passing
+        max_scan > 0 opts into the EXACT reference semantics for eval-parity
+        runs: candidate review rows taken in file order, truncated at
+        max_scan, scored on host (_exact_snippets). max_scan == -1 uses
+        config.MAX_REVIEWS_SCAN as the cap (the reference's default)."""
         c = config
         k = c.DEFAULT_K if k is None else int(k)
         rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)
@@ -467,9 +471,11 @@ class SearchEngine:
         P = idx.shape[0]
 
         # ---- cross-encoder rerank (host model call) ----
+        # ENABLE_RERANKING=false degrades like a failed cross-encoder load:
+        # zero scores still occupy the rerank lanes (reference app:275,279)
         rerank_raw = np.zeros(P, np.float32)
         rerank_mask = np.zeros(P, bool)
-        if rerank_k > 0 and self.cross_encoder is not None:
+        if rerank_k > 0 and self.cross_encoder is not None and c.ENABLE_RERANKING:
             rr_k = min(rerank_k, n_cand)
             if rr_k > 0:
                 texts = [t[:2000] for t in cand_texts[:rr_k]]
@@ -504,7 +510,17 @@ class SearchEngine:
         best_raw = np.zeros(P, np.float32)
         snips: Dict[str, dict] = {}
         has_snips = False
-        if use_snips and self.reviews is not None:
+        use_snips = bool(use_snips) and c.ENABLE_SNIPPETS
+        max_scan = int(max_scan or 0)
+        if use_snips and self.reviews is not None and max_scan != 0:
+            # opt-in exact mode: reference truncation semantics (app:320-346)
+            cap = max_scan if max_scan > 0 else c.MAX_REVIEWS_SCAN
+            with timer.stage("snippets_exact"):
+                best_by_row, snips = self._exact_snippets(qvec, cand_rows, cap)
+            for i, row in enumerate(cand_rows):
+                best_raw[i] = best_by_row.get(int(row), 0.0)
+            has_snips = bool((best_raw != 0).any())
+        elif use_snips and self.reviews is not None:
             best_full = np.asarray(self._snippet_scores(self.rev_arrays, qvec))
             for i, row in enumerate(cand_rows):
                 v = best_full[row]
@@ -527,6 +543,7 @@ class SearchEngine:
         timer_fuse.__exit__(None, None, None)
         keep = [p for p, s in zip(pos, scores) if math.isfinite(s)]
 
+        last_ts = self.products.last_ts
         rows = []
         for rank, p in enumerate(keep):
             row_idx = int(idx[p])
@@ -535,6 +552,9 @@ class SearchEngine:
                     "sku": self.products.skus[row_idx],
                     "n_reviews": float(self.products.n_reviews[row_idx]),
                     "avg_stars": float(self.products.avg_stars[row_idx]),
+                    # full meta carried into result rows like the reference
+                    # (app:255 copies meta incl. last_ts)
+                    **({"last_ts": last_ts[row_idx]} if last_ts else {}),
                     "agg_text": self.products.agg_texts[row_idx],
                     "_dense": float(np.asarray(res.dense)[p]),
                     "_bm25": float(np.asarray(res.bm25)[p]),
@@ -582,6 +602,48 @@ class SearchEngine:
                 "stars": float(self.reviews.rev_stars[int(ridx[j])]),
             }
         return out
+
+    def _exact_snippets(self, qvec, cand_rows, cap: int):
+        """EXACT reference snippet semantics (app/app_product_search.py:
+        320-361): candidate products' review rows in original file order,
+        truncated at `cap` rows, cosine-scored on host, per-product argmax.
+        Returns ({product_row: best_score}, {sku: snippet dict})."""
+        m = self.reviews.n_reviews_total
+        seg = np.asarray(self.reviews.rev_product[:m])
+        parts = [
+            self._rev_order[self._rev_offsets[int(r)]:
+                            self._rev_offsets[int(r) + 1]]
+            for r in cand_rows
+        ]
+        if not parts:
+            return {}, {}
+        rows = np.concatenate(parts)
+        # _rev_order is a stable sort by product, so each slice is ascending;
+        # a global sort restores original FILE order across products — the
+        # order the reference truncates in (app:334-336)
+        rows = np.sort(rows)[: int(cap)]
+        if rows.size == 0:
+            return {}, {}
+        q = np.asarray(qvec, dtype=np.float32).reshape(-1)
+        sims = (self.reviews.rev_emb[rows] @ q).astype(np.float32)
+        prods = seg[rows]
+        # per-product argmax; ties keep the first row in file order
+        # (pandas idxmax semantics, app:354-361)
+        o = np.lexsort((-sims, prods))
+        firsts = np.ones(len(o), dtype=bool)
+        firsts[1:] = prods[o[1:]] != prods[o[:-1]]
+        scores: Dict[int, float] = {}
+        snips: Dict[str, dict] = {}
+        for w in o[firsts]:
+            prow = int(prods[w])
+            ridx = int(rows[w])
+            scores[prow] = float(sims[w])
+            snips[self.products.skus[prow]] = {
+                "score": float(sims[w]),
+                "text": self.reviews.rev_texts[ridx][:600],
+                "stars": float(self.reviews.rev_stars[ridx]),
+            }
+        return scores, snips
 
     # ------------------------------------------------- standalone retrieval
     def search_dense(self, qvec, k: int):
@@ -647,6 +709,7 @@ class SearchEngine:
         """Single-compiled-program query (no rerank): returns
         (corpus row ids (k,), final scores (k,)). Features travel in one
         packed buffer — two transfers per query total."""
+        use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
         packed = self.featurizer.featurize(query).pack()
         rows, scores, _res, _pos = self._fused_packed(
             self.arrays, self.rev_arrays,

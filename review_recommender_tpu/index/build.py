@@ -66,6 +66,7 @@ def build_product_index(
     doc_terms_cap: int = 512,
     pad_multiple: int = 256,
     token_lists: Optional[List[List[str]]] = None,
+    last_ts: Optional[Sequence] = None,
 ) -> ProductIndex:
     """Build the device-ready product index from host columns.
 
@@ -190,6 +191,10 @@ def build_product_index(
         df=df,
         avgdl=avgdl,
         n_docs=n,
+        last_ts=(
+            [None if t is None else str(t) for t in last_ts]
+            if last_ts is not None else None
+        ),
     )
     idx.validate()
     return idx

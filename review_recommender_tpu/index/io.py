@@ -31,9 +31,33 @@ from review_recommender_tpu.index.schema import (
 logger = logging.getLogger(__name__)
 
 
-def _sha256(path: Path) -> str:
+def is_remote(path) -> bool:
+    """True for fsspec-style URLs (hf://, s3://, gs://, memory://...) —
+    the reference serves production artifacts from HF datasets over fsspec
+    (reference config.py:34-35, app_product_search.py:94-101)."""
+    return "://" in str(path)
+
+
+def join_path(base, name: str) -> str:
+    """Path join that preserves URL schemes (Path() collapses 'hf://')."""
+    b = str(base)
+    if is_remote(b):
+        return b.rstrip("/") + "/" + name
+    return str(Path(b) / name)
+
+
+def open_artifact(path, mode: str = "rb"):
+    """Open a local file or a remote fsspec URL for reading."""
+    if is_remote(path):
+        import fsspec
+
+        return fsspec.open(str(path), mode).open()
+    return open(path, mode)
+
+
+def _sha256(path) -> str:
     h = hashlib.sha256()
-    with open(path, "rb") as f:
+    with open_artifact(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
@@ -62,14 +86,15 @@ def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
     if p.doc_bm25 is not None:
         arrays["doc_bm25"] = p.doc_bm25
     np.savez_compressed(out / "product_arrays.npz", **arrays)
-    pd.DataFrame(
-        {
-            "sku": p.skus,
-            "agg_text": p.agg_texts,
-            "n_reviews": p.n_reviews[: p.n_docs],
-            "avg_stars": p.avg_stars[: p.n_docs],
-        }
-    ).to_parquet(out / "product_meta.parquet", index=False)
+    meta_cols = {
+        "sku": p.skus,
+        "agg_text": p.agg_texts,
+        "n_reviews": p.n_reviews[: p.n_docs],
+        "avg_stars": p.avg_stars[: p.n_docs],
+    }
+    if p.last_ts is not None:
+        meta_cols["last_ts"] = p.last_ts
+    pd.DataFrame(meta_cols).to_parquet(out / "product_meta.parquet", index=False)
     terms = sorted(p.vocab.items(), key=lambda kv: kv[1])
     with open(out / "vocab.txt", "w") as f:
         for term, tid in terms:
@@ -112,9 +137,13 @@ def save_bundle(bundle: IndexBundle, out_dir: str | Path) -> Path:
 
 
 def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBundle:
-    src = Path(in_dir)
-    with open(src / "manifest.json") as f:
-        manifest = json.load(f)
+    """Load a bundle from a local directory OR an fsspec URL
+    (e.g. hf://datasets/<org>/<name>/index — the reference's production
+    artifact transport, reference config.py:34-35)."""
+    src = str(in_dir)
+    f = lambda name: join_path(src, name)
+    with open_artifact(f("manifest.json"), "r") as fh:
+        manifest = json.load(fh)
     if manifest["schema_version"] > SCHEMA_VERSION:
         raise ValueError(
             f"index bundle schema v{manifest['schema_version']} is newer than "
@@ -122,14 +151,15 @@ def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBund
         )
     if verify_checksums:
         for fname, want in manifest.get("checksums", {}).items():
-            got = _sha256(src / fname)
+            got = _sha256(f(fname))
             if got != want:
                 raise ValueError(f"checksum mismatch for {fname}")
 
-    arrs = np.load(src / "product_arrays.npz")
-    meta = pd.read_parquet(src / "product_meta.parquet")
-    with open(src / "vocab.txt") as f:
-        vocab = {line.rstrip("\n"): i + 1 for i, line in enumerate(f) if line}
+    with open_artifact(f("product_arrays.npz")) as fh:
+        arrs = dict(np.load(fh))
+    meta = pd.read_parquet(f("product_meta.parquet"))
+    with open_artifact(f("vocab.txt"), "r") as fh:
+        vocab = {line.rstrip("\n"): i + 1 for i, line in enumerate(fh) if line}
 
     p = ProductIndex(
         emb=arrs["emb"],
@@ -147,18 +177,21 @@ def load_bundle(in_dir: str | Path, verify_checksums: bool = False) -> IndexBund
         df=arrs["df"],
         avgdl=float(manifest["avgdl"]),
         n_docs=int(manifest["n_docs"]),
-        doc_tokens=arrs["doc_tokens"] if "doc_tokens" in arrs.files else None,
-        doc_token_len=(
-            arrs["doc_token_len"] if "doc_token_len" in arrs.files else None
+        doc_tokens=arrs.get("doc_tokens"),
+        doc_token_len=arrs.get("doc_token_len"),
+        doc_bm25=arrs.get("doc_bm25"),
+        last_ts=(
+            [None if pd.isna(t) else str(t) for t in meta["last_ts"]]
+            if "last_ts" in meta.columns else None
         ),
-        doc_bm25=arrs["doc_bm25"] if "doc_bm25" in arrs.files else None,
     )
     p.validate()
 
     reviews: Optional[ReviewIndex] = None
     if manifest.get("has_reviews"):
-        rarrs = np.load(src / "review_arrays.npz")
-        rmeta = pd.read_parquet(src / "review_meta.parquet")
+        with open_artifact(f("review_arrays.npz")) as fh:
+            rarrs = dict(np.load(fh))
+        rmeta = pd.read_parquet(f("review_meta.parquet"))
         reviews = ReviewIndex(
             rev_emb=rarrs["rev_emb"],
             rev_product=rarrs["rev_product"],

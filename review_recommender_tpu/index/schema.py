@@ -78,6 +78,9 @@ class ProductIndex:
     # arXiv:2407.03618) — when present, query scoring is a masked sum and
     # doc_tf/doc_len never ship to the device
     doc_bm25: Optional[np.ndarray] = None
+    # optional host metadata: most-recent review timestamp per product
+    # (reference meta column carried into result rows, app:255)
+    last_ts: Optional[List[str]] = None
 
     @property
     def n_padded(self) -> int:

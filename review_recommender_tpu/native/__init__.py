@@ -136,16 +136,17 @@ def substring_scan_native(vocab_blob: bytes, token: str, max_hits: int = 4096):
     if lib is None:
         raise ImportError("librrt_native.so not built")
     needle = token.encode("utf-8", "replace")
-    out = np.zeros(max_hits, np.int32)
-    n = lib.rrt_substring_scan(vocab_blob, len(vocab_blob), needle,
-                               len(needle), out, max_hits)
-    if n < 0:  # more hits than the buffer: retry with a bigger one
-        out = np.zeros(max_hits * 16, np.int32)
+    # Double the buffer until the hits fit: every vocab line can match (a
+    # 1-char token on a large vocab), so the hard ceiling is the line count,
+    # at which point the scan cannot return -1.
+    cap = max_hits
+    while True:
+        out = np.zeros(cap, np.int32)
         n = lib.rrt_substring_scan(vocab_blob, len(vocab_blob), needle,
-                                   len(needle), out, max_hits * 16)
-        if n < 0:
-            raise RuntimeError("substring scan overflow")
-    return out[: int(n)].copy()
+                                   len(needle), out, cap)
+        if n >= 0:
+            return out[: int(n)].copy()
+        cap *= 2
 
 
 def build_postings_native(texts, doc_terms_cap: int, cap: int = 5000):

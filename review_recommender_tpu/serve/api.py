@@ -204,9 +204,9 @@ def make_handler(service: SearchService):
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path in ("/", "/index.html"):
-                from review_recommender_tpu.serve.ui import PAGE
+                from review_recommender_tpu.serve.ui import page
 
-                body = PAGE.encode()
+                body = page(metrics_tab=config.ENABLE_METRICS_TAB).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))
@@ -229,6 +229,10 @@ def make_handler(service: SearchService):
             handler_name = self.ROUTES.get(self.path)
             if handler_name is None:
                 self._send(404, {"error": "not found"})
+                return
+            if self.path == "/eval" and not config.ENABLE_METRICS_TAB:
+                self._send(404, {"error": "metrics endpoint disabled "
+                                          "(ENABLE_METRICS_TAB=false)"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))

@@ -165,3 +165,15 @@ async function evaluate() {
 </script>
 </main></body></html>
 """
+
+
+def page(metrics_tab: bool = True) -> str:
+    """Render the UI page. metrics_tab=False (ENABLE_METRICS_TAB) removes the
+    Metrics tab button and section — the reference's feature-flagged tab
+    (reference config.py:61)."""
+    if metrics_tab:
+        return PAGE
+    html = PAGE.replace('  <button data-t="metrics">Metrics</button>\n', "")
+    start = html.index('<section class="tab" id="tab-metrics">')
+    end = html.index("</section>", start) + len("</section>")
+    return html[:start] + html[end:]

@@ -16,7 +16,7 @@ def run_config_tests() -> int:
 
     assert config.DEFAULT_K > 0
     assert 0 <= config.DEFAULT_GATE_PENALTY <= 1
-    assert config.EMB_DTYPE in ("bfloat16", "float32", "float16")
+    assert config.EMB_DTYPE in ("bfloat16", "float32", "float16", "int8")
     assert config.GATE_MODE in ("device", "host")
     assert Config.is_development() or Config.is_production() or True
     config.validate()
