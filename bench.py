@@ -119,10 +119,93 @@ def _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q):
     return n_q / (time.perf_counter() - t0)
 
 
+def _async_read(pairs):
+    """Start async d2h copies for every output, then materialize. A sync
+    read of each tiny result would pay a full tunnel round trip serially
+    (utils/numerics.device_fetch rationale)."""
+    for out in pairs:
+        for a in out:
+            f = getattr(a, "copy_to_host_async", None)
+            if f is not None:
+                try:
+                    f()
+                except Exception:
+                    pass
+    return [[np.asarray(a) for a in out] for out in pairs]
+
+
+def _single_stream_qps(engine, qvecs, qstrings, w, pool, k, n_q,
+                       depth: int = 8) -> float:
+    """Honest streaming client: dispatch query i, read back result i-depth —
+    every response is materialized on host, with a bounded in-flight window."""
+    inflight = []
+    t0 = time.perf_counter()
+    for qi in range(n_q):
+        out = engine.query_fused(qvecs[qi], qstrings[qi], w, pool, k)
+        for a in out:
+            f = getattr(a, "copy_to_host_async", None)
+            if f is not None:
+                try:
+                    f()
+                except Exception:
+                    pass
+        inflight.append(out)
+        if len(inflight) > depth:
+            r, s = inflight.pop(0)
+            np.asarray(r), np.asarray(s)
+    for r, s in inflight:
+        np.asarray(r), np.asarray(s)
+    return n_q / (time.perf_counter() - t0)
+
+
+def _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q, batch,
+                 reps: int = 2) -> float:
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(reps):
+        for lo in range(0, n_q, batch):
+            outs.append(engine.query_fused_batched(
+                qvecs[lo:lo + batch], qstrings[lo:lo + batch], w, pool, k
+            ))
+    _async_read(outs)
+    return reps * n_q / (time.perf_counter() - t0)
+
+
+def _make_e2e_engine(pidx, dim, seed=0):
+    """Engine with attached JAX towers (bge-small-shaped 12L bi-encoder +
+    MiniLM-shaped 6L cross-encoder, random weights — identical FLOPs to the
+    converted checkpoints) and fabricated doc rerank tokens, for the fully
+    on-device e2e path (encode + retrieve + rerank in ONE program)."""
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.schema import IndexBundle
+    from review_recommender_tpu.models.bert import BertConfig
+    from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+
+    rng = np.random.default_rng(seed)
+    n_pad = pidx.n_padded
+    sd = 254
+    pidx.doc_tokens = rng.integers(
+        5, 30000, size=(n_pad, sd)).astype(np.int32)
+    pidx.doc_token_len = np.full(n_pad, 128, np.int32)
+
+    be_cfg = BertConfig(vocab_size=30522, hidden_size=dim, num_layers=12,
+                        num_heads=max(dim // 64, 1), intermediate_size=4 * dim,
+                        max_position=512)
+    ce_cfg = BertConfig(vocab_size=30522, hidden_size=dim, num_layers=6,
+                        num_heads=max(dim // 64, 1), intermediate_size=4 * dim,
+                        max_position=512)
+    be = BiEncoder.random_init(be_cfg, seed=0)
+    ce = CrossEncoder.random_init(ce_cfg, seed=1)
+    engine = SearchEngine(IndexBundle(products=pidx), emb_dtype="bfloat16",
+                          gate_mode="device")
+    engine.attach_models(be, ce)
+    return engine
+
+
 def main():
     n_docs = int(os.getenv("BENCH_N_DOCS", "200000"))
     dim = int(os.getenv("BENCH_DIM", "384"))
-    n_q = int(os.getenv("BENCH_QUERIES", "64"))
+    n_q = int(os.getenv("BENCH_QUERIES", "256"))
     n_q_cpu = int(os.getenv("BENCH_BASELINE_QUERIES", "8"))
     vocab_size = 30000
     pool, k = 150, 10
@@ -142,31 +225,58 @@ def main():
                            min_reviews=8, gate_penalty=1.0)
 
     batch = int(os.getenv("BENCH_BATCH", "32"))
-    n_q = max(n_q - n_q % batch, batch)
+    big_batch = int(os.getenv("BENCH_BATCH_BIG", "128"))
+    n_q = max(n_q - n_q % max(batch, big_batch), max(batch, big_batch))
 
-    # warmup / compile both paths
+    # warmup / compile
     r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
     np.asarray(r)
-    rb, sb = engine.query_fused_batched(
-        qvecs[:batch], qstrings[:batch], w, pool, k
-    )
-    np.asarray(rb)
+    _async_read([engine.query_fused_batched(
+        qvecs[:batch], qstrings[:batch], w, pool, k)])
 
-    # single-stream latency
-    t0 = time.perf_counter()
-    for qi in range(n_q):
-        rows, scores = engine.query_fused(qvecs[qi], qstrings[qi], w, pool, k)
-    np.asarray(rows)  # sync
-    single_qps = n_q / (time.perf_counter() - t0)
+    single_qps = _single_stream_qps(engine, qvecs, qstrings, w, pool, k, n_q)
+    batched_qps = _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q, batch)
 
-    # batched throughput (the serving configuration)
-    t0 = time.perf_counter()
-    for lo in range(0, n_q, batch):
-        rows, scores = engine.query_fused_batched(
-            qvecs[lo : lo + batch], qstrings[lo : lo + batch], w, pool, k
-        )
-    np.asarray(rows)
-    batched_qps = n_q / (time.perf_counter() - t0)
+    # tail metrics (driver parses only the LAST line; these are evidence
+    # lines for every README claim — VERDICT r1 item 3)
+    if big_batch > batch:
+        _async_read([engine.query_fused_batched(
+            qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
+        big_qps = _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q,
+                               big_batch)
+        print(json.dumps({"tail_metric": f"hybrid bf16 batch={big_batch}",
+                          "qps": round(big_qps, 2)}))
+
+    if os.getenv("BENCH_INT8", "1") == "1":
+        eng8 = SearchEngine(IndexBundle(products=pidx), emb_dtype="int8",
+                            gate_mode="device")
+        _async_read([eng8.query_fused_batched(
+            qvecs[:batch], qstrings[:batch], w, pool, k)])
+        int8_qps = _batched_qps(eng8, qvecs, qstrings, w, pool, k, n_q, batch)
+        single8 = _single_stream_qps(eng8, qvecs, qstrings, w, pool, k, n_q)
+        print(json.dumps({"tail_metric": f"hybrid int8 batch={batch}",
+                          "qps": round(int8_qps, 2),
+                          "single_stream_qps": round(single8, 2)}))
+        del eng8
+
+    if os.getenv("BENCH_E2E", "1") == "1":
+        e2e_engine = _make_e2e_engine(pidx, dim)
+        rr_k = 50
+        rows, scores = e2e_engine.query_e2e(qstrings[0], w, pool, k, rr_k=rr_k)
+        np.asarray(rows)
+        n_e2e = min(n_q, 64)
+        outs = []
+        t0 = time.perf_counter()
+        for qi in range(n_e2e):
+            outs.append(e2e_engine.query_e2e(qstrings[qi], w, pool, k,
+                                             rr_k=rr_k))
+        _async_read(outs)
+        e2e_ms = (time.perf_counter() - t0) / n_e2e * 1e3
+        print(json.dumps({
+            "tail_metric": (f"fully on-device e2e query (12L encode + "
+                            f"{rr_k}x6L rerank), N={n_docs}"),
+            "ms_per_query": round(e2e_ms, 2),
+        }))
 
     cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
 

@@ -113,6 +113,13 @@ class Config:
     MESH_AXIS = os.getenv("MESH_AXIS", "shards")
     # Use Pallas kernels where available ("true") vs plain XLA ops.
     USE_PALLAS = _env_bool("USE_PALLAS", "true")
+    # Cross-request micro-batching (serve/api.py:MicroBatcher): concurrent
+    # /search requests within the window coalesce into one batched device
+    # program. Window ~2 ms trades a little latency for batched throughput.
+    ENABLE_MICROBATCH = _env_bool("ENABLE_MICROBATCH", "true")
+    MICROBATCH_WINDOW_MS = _env_float("MICROBATCH_WINDOW_MS", "2.0")
+    MICROBATCH_MAX = _env_int("MICROBATCH_MAX", "64")
+
     # Max reviews kept per product at snippet-index build time
     # (data/prep.py:filter_reviews_for_snippets) — bounds the review-index
     # HBM footprint. 0 disables the cap.

@@ -103,8 +103,10 @@ class QueryFeaturizer:
         # C fast path: '\n'-joined vocab blob (line i <-> term id i+1 —
         # vocab ids are contiguous 1..V in build order)
         self._vocab_blob = None
+        self._native = None
         try:
             from review_recommender_tpu.native import (
+                NativeQueryFeaturizer,
                 native_available,
                 substring_scan_native,
             )
@@ -112,6 +114,13 @@ class QueryFeaturizer:
             if native_available() and terms:
                 self._vocab_blob = ("\n".join(t for t, _ in terms) + "\n").encode()
                 self._scan_native = substring_scan_native
+                native = NativeQueryFeaturizer(
+                    self._vocab_blob, index.df, index.idf,
+                    query_terms_cap, gate_terms_cap,
+                )
+                expect = packed_len(query_terms_cap, gate_terms_cap)
+                if native.packed_len == expect:
+                    self._native = native
         except Exception:
             pass
 
@@ -139,6 +148,24 @@ class QueryFeaturizer:
             self._expand_cache.clear()
         self._expand_cache[token] = ids
         return ids
+
+    def featurize_packed(self, query: str) -> np.ndarray:
+        """Query string -> the packed f32 feature buffer, via the C++
+        featurizer in ONE FFI crossing when available (the hot serving path:
+        ~70 us of Python becomes a few us of C++). Non-ASCII queries and
+        ENABLE_BM25=false fall back to the Python path (the flag is read per
+        call there; the native handle bakes idf in)."""
+        if (self._native is not None and query.isascii()
+                and config.ENABLE_BM25):
+            return self._native.featurize_packed(query)
+        return self.featurize(query).pack()
+
+    def featurize_packed_batch(self, queries) -> np.ndarray:
+        """Batch of queries -> (B, packed_len) f32, one FFI crossing."""
+        if (self._native is not None and config.ENABLE_BM25
+                and all(q.isascii() for q in queries)):
+            return self._native.featurize_packed_batch(queries)
+        return np.stack([self.featurize_packed(q) for q in queries])
 
     def featurize(self, query: str) -> QueryFeatures:
         tokens = tokenize_query(query)

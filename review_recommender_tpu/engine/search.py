@@ -45,6 +45,7 @@ from review_recommender_tpu.ops.fusion import (
 )
 from review_recommender_tpu.ops.gate import gate_factors_device
 from review_recommender_tpu.ops.segment import best_review_scores
+from review_recommender_tpu.utils.numerics import device_fetch
 from review_recommender_tpu.utils.text import calculate_gate_factor
 
 logger = logging.getLogger(__name__)
@@ -111,6 +112,9 @@ class SearchEngine:
         )
         self._fused_packed_batch = jax.jit(
             self._fused_packed_batch_impl, static_argnames=("pool", "k")
+        )
+        self._fused_packed_pw = jax.jit(
+            self._fused_packed_pw_impl, static_argnames=("pool", "k")
         )
 
     def _dense_topk(self, a, qvec, pool):
@@ -205,7 +209,16 @@ class SearchEngine:
             gate, st["cand_valid"], w,
         )
         scores, pos = final_topk(res, k)
-        return jnp.take(st["idx"], pos), scores, res, pos
+        # per-signal breakdown gathered at the winners ON DEVICE, so a full
+        # /search response costs one tiny (k, 7) fetch instead of 8 pool-
+        # sized fetches (serve/api micro-batching path)
+        bd = jnp.stack(
+            [jnp.take(x, pos) for x in (res.dense, res.bm25, res.rerank,
+                                        res.prior, res.best, res.trust,
+                                        res.gate)],
+            axis=-1,
+        )
+        return jnp.take(st["idx"], pos), scores, bd
 
     # --------------------------------------------------- fully on-device e2e
     def attach_models(self, biencoder, crossencoder=None):
@@ -321,7 +334,7 @@ class SearchEngine:
         ids = self._be.tokenizer.token_ids(query)[:Lq_cap]
         q_raw = np.zeros(Lq_cap, np.int32)
         q_raw[: len(ids)] = ids
-        packed = self.featurizer.featurize(query).pack()
+        packed = self.featurizer.featurize_packed(query)
         ce_params = self._ce.params if self._ce is not None else None
         rows, scores, _q = self._e2e(
             self.arrays, self._be.params, ce_params,
@@ -340,19 +353,42 @@ class SearchEngine:
             self.featurizer.gate_terms_cap,
         )
 
-    def _fused_packed_impl(self, a, rev, qvec, packed, w, use_snips, *,
-                           pool, k):
-        """query_fused with features in ONE packed buffer: a query costs two
-        host->device transfers (qvec + features) instead of seven."""
+    def _fused_packed_impl(self, a, rev, qp, w, use_snips, *, pool, k):
+        """query_fused with the query vector AND features in ONE combined
+        buffer [qvec (D,) | packed features]: a query costs a single
+        host->device transfer (each transfer to the tunneled TPU costs
+        ~0.15-1 ms of latency, so transfer COUNT dominates single-stream
+        QPS)."""
+        d = self.products.dim
+        qvec, packed = qp[:d], qp[d:]
         return self._fused_impl(a, rev, qvec, *self._unpack(packed), w,
                                 use_snips, pool=pool, k=k)
 
-    def _fused_packed_batch_impl(self, a, rev, qvecs, packed, w, use_snips,
-                                 *, pool, k):
+    def _fused_packed_batch_impl(self, a, rev, qp, w, use_snips, *, pool, k):
         f = functools.partial(self._fused_packed_impl, pool=pool, k=k)
-        return jax.vmap(f, in_axes=(None, None, 0, 0, None, None))(
-            a, rev, qvecs, packed, w, use_snips
+        return jax.vmap(f, in_axes=(None, None, 0, None, None))(
+            a, rev, qp, w, use_snips
         )
+
+    def _fused_packed_pw_impl(self, a, rev, qp, use_snips, *, pool, k):
+        """Per-query fusion weights: each combined row carries its own 8
+        weight scalars at the tail ([qvec | features | weights]), so a
+        coalesced batch of requests with DIFFERENT knobs still runs as ONE
+        device program with ONE transfer (serve/api.py micro-batcher)."""
+        d = self.products.dim
+
+        def one(row):
+            qvec = row[:d]
+            packed = row[d:-8]
+            w = FusionWeights(*(row[-8 + i] for i in range(8)))
+            return self._fused_impl(a, rev, qvec, *self._unpack(packed), w,
+                                    use_snips, pool=pool, k=k)
+
+        return jax.vmap(one)(qp)
+
+    def _combined(self, qvec, packed) -> np.ndarray:
+        qv = np.asarray(qvec, np.float32).reshape(-1)
+        return np.concatenate([qv, packed])
 
     # ------------------------------------------------------------ batched fused
     def _fused_batch_impl(self, self_arrays, rev, qvecs, q_terms, q_idf,
@@ -373,17 +409,38 @@ class SearchEngine:
         """Batched single-program hybrid search (no rerank): qvecs (B, D),
         B query strings -> (row ids (B, k), scores (B, k))."""
         use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
-        packed = np.stack(
-            [self.featurizer.featurize(q).pack() for q in queries]
+        packed = self.featurizer.featurize_packed_batch(queries)
+        qp = np.concatenate(
+            [np.asarray(qvecs, np.float32), packed], axis=1
         )
-        rows, scores, _res, _pos = self._fused_packed_batch(
-            self.arrays, self.rev_arrays,
-            jnp.asarray(np.asarray(qvecs, np.float32)),
-            jnp.asarray(packed),
+        rows, scores, _bd = self._fused_packed_batch(
+            self.arrays, self.rev_arrays, jnp.asarray(qp),
             w, jnp.bool_(use_snips),
             pool=min(pool, self.products.n_padded), k=k,
         )
         return rows, scores
+
+    def query_fused_batched_pw(self, qvecs, queries: List[str],
+                               weights: List[FusionWeights], pool: int,
+                               k: int, use_snips: bool = False):
+        """Batched fused search with PER-QUERY fusion weights (the
+        micro-batching server coalesces concurrent requests with different
+        knobs into one program). `weights` entries are 8-float sequences in
+        FusionWeights field order (pass plain floats — device scalars would
+        cost 8 d2h syncs each). Returns (rows (B,k), scores (B,k),
+        breakdown (B,k,7) [dense,bm25,rerank,prior,best,trust,gate])."""
+        use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
+        packed = self.featurizer.featurize_packed_batch(queries)
+        wmat = np.asarray([tuple(map(float, w)) for w in weights], np.float32)
+        qp = np.concatenate(
+            [np.asarray(qvecs, np.float32), packed, wmat], axis=1
+        )
+        rows, scores, bd = self._fused_packed_pw(
+            self.arrays, self.rev_arrays, jnp.asarray(qp),
+            jnp.bool_(use_snips),
+            pool=min(pool, self.products.n_padded), k=k,
+        )
+        return rows, scores, bd
 
     # ------------------------------------------------------------------ public
     def encode_query(self, query: str) -> np.ndarray:
@@ -461,8 +518,9 @@ class SearchEngine:
                 jnp.asarray(qf.group_valid),
                 pool=pool,
             )
-            idx = np.asarray(st["idx"])
-        cand_valid_h = np.asarray(st["cand_valid"])
+            # ONE async round trip for both stage-A outputs (sync per-array
+            # reads pay the full tunnel RTT each — utils/numerics.device_fetch)
+            idx, cand_valid_h = device_fetch(st["idx"], st["cand_valid"])
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
         cand_skus = [self.products.skus[i] for i in cand_rows]
@@ -493,10 +551,12 @@ class SearchEngine:
 
         # ---- gate ----
         if self.gate_mode == "host":
+            (gate_pen,) = device_fetch(w.gate_penalty)
+            gate_pen = float(gate_pen)
             gate_h = np.ones(P, np.float32)
             for i, text in enumerate(cand_texts):
                 gf, _, _ = calculate_gate_factor(
-                    text[:6000], qf.groups, float(np.asarray(w.gate_penalty))
+                    text[:6000], qf.groups, gate_pen
                 )
                 gate_h[i] = gf
             gate = jnp.asarray(gate_h)
@@ -521,7 +581,9 @@ class SearchEngine:
                 best_raw[i] = best_by_row.get(int(row), 0.0)
             has_snips = bool((best_raw != 0).any())
         elif use_snips and self.reviews is not None:
-            best_full = np.asarray(self._snippet_scores(self.rev_arrays, qvec))
+            (best_full,) = device_fetch(
+                self._snippet_scores(self.rev_arrays, qvec)
+            )
             for i, row in enumerate(cand_rows):
                 v = best_full[row]
                 if v > SNIPPET_NONE:
@@ -538,8 +600,14 @@ class SearchEngine:
             jnp.asarray(best_raw), jnp.bool_(has_snips), gate, w,
             k=min(k, P),
         )
-        pos = np.asarray(pos)
-        scores = np.asarray(scores)
+        # one async fetch for scores/positions AND every signal column
+        # (previously each float(np.asarray(res.x)[p]) was its own sync
+        # round trip: k rows x 7 signals = 70 tunnel RTTs per query)
+        (pos, scores, r_dense, r_bm25, r_rerank, r_prior, r_best, r_trust,
+         r_gate) = device_fetch(
+            pos, scores, res.dense, res.bm25, res.rerank, res.prior,
+            res.best, res.trust, res.gate,
+        )
         timer_fuse.__exit__(None, None, None)
         keep = [p for p, s in zip(pos, scores) if math.isfinite(s)]
 
@@ -556,13 +624,13 @@ class SearchEngine:
                     # (app:255 copies meta incl. last_ts)
                     **({"last_ts": last_ts[row_idx]} if last_ts else {}),
                     "agg_text": self.products.agg_texts[row_idx],
-                    "_dense": float(np.asarray(res.dense)[p]),
-                    "_bm25": float(np.asarray(res.bm25)[p]),
-                    "_rerank": float(np.asarray(res.rerank)[p]),
-                    "_prior": float(np.asarray(res.prior)[p]),
-                    "_best": float(np.asarray(res.best)[p]),
-                    "_trust": float(np.asarray(res.trust)[p]),
-                    "_gate": float(np.asarray(res.gate)[p]),
+                    "_dense": float(r_dense[p]),
+                    "_bm25": float(r_bm25[p]),
+                    "_rerank": float(r_rerank[p]),
+                    "_prior": float(r_prior[p]),
+                    "_best": float(r_best[p]),
+                    "_trust": float(r_trust[p]),
+                    "_gate": float(r_gate[p]),
                     "_final": float(scores[rank]),
                 }
             )
@@ -707,14 +775,14 @@ class SearchEngine:
     def query_fused(self, qvec, query: str, w: FusionWeights, pool: int, k: int,
                     use_snips: bool = False):
         """Single-compiled-program query (no rerank): returns
-        (corpus row ids (k,), final scores (k,)). Features travel in one
-        packed buffer — two transfers per query total."""
+        (corpus row ids (k,), final scores (k,)). The query vector and all
+        features travel in ONE combined buffer — a single host->device
+        transfer per query."""
         use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
-        packed = self.featurizer.featurize(query).pack()
-        rows, scores, _res, _pos = self._fused_packed(
+        packed = self.featurizer.featurize_packed(query)
+        rows, scores, _bd = self._fused_packed(
             self.arrays, self.rev_arrays,
-            jnp.asarray(qvec, jnp.float32),
-            jnp.asarray(packed),
+            jnp.asarray(self._combined(qvec, packed)),
             w, jnp.bool_(use_snips),
             pool=min(pool, self.products.n_padded), k=k,
         )

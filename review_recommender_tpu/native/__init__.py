@@ -55,6 +55,31 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.rrt_featurizer_create.restype = ctypes.c_void_p
+    lib.rrt_featurizer_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ndpointer(_np.int32, flags="C"), ndpointer(_np.float32, flags="C"),
+        ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,  # phrases
+        ctypes.c_char_p, ctypes.c_int64,  # colors
+        ctypes.c_char_p, ctypes.c_int64,  # synonyms
+        ctypes.c_char_p, ctypes.c_int64,  # stopwords
+        ctypes.c_int64, ctypes.c_int64,   # q_cap, t_cap
+    ]
+    lib.rrt_featurizer_destroy.restype = None
+    lib.rrt_featurizer_destroy.argtypes = [ctypes.c_void_p]
+    lib.rrt_featurizer_packed_len.restype = ctypes.c_int64
+    lib.rrt_featurizer_packed_len.argtypes = [ctypes.c_void_p]
+    lib.rrt_featurize.restype = ctypes.c_int64
+    lib.rrt_featurize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ndpointer(_np.float32, flags="C,W"),
+    ]
+    lib.rrt_featurize_batch.restype = ctypes.c_int64
+    lib.rrt_featurize_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ndpointer(_np.int64, flags="C"),
+        ctypes.c_int64, ndpointer(_np.float32, flags="C,W"),
+    ]
     return lib
 
 
@@ -199,3 +224,70 @@ def build_postings_native(texts, doc_terms_cap: int, cap: int = 5000):
     vocab = {t: i + 1 for i, t in enumerate(terms)}
     return (doc_terms[:n], doc_tf[:n], doc_len[:n], df[: v + 1].copy(),
             vocab, int(n_trunc.value))
+
+
+class NativeQueryFeaturizer:
+    """C++ query featurizer handle: one FFI crossing per query (or batch)
+    replaces the whole Python host hot path — tokenize, vocab/idf lookup,
+    gate-group construction, dynamic-token expansion, feature packing
+    (engine/featurize.py semantics; reference utils.py:57-86).
+
+    The attribute tables are serialized from utils/text.py at construction so
+    Python remains the single source of truth. ASCII queries only — callers
+    route non-ASCII to the Python fallback."""
+
+    def __init__(self, vocab_blob: bytes, df, idf, query_terms_cap: int,
+                 gate_terms_cap: int):
+        import weakref
+
+        import numpy as np
+
+        from review_recommender_tpu.utils.text import (
+            COLORS,
+            GATE_PHRASES,
+            STOP_WORDS,
+            SYNONYMS,
+        )
+
+        lib = _lib()
+        if lib is None:
+            raise ImportError("librrt_native.so not built")
+        self._lib = lib
+        self._df = np.ascontiguousarray(df, dtype=np.int32)
+        self._idf = np.ascontiguousarray(idf, dtype=np.float32)
+        phrases = ("\n".join(GATE_PHRASES)).encode()
+        colors = ("\n".join(
+            "\t".join(sorted(m)) for m in COLORS.values())).encode()
+        synonyms = ("\n".join(
+            t + "\t" + "\t".join(sorted(m)) for t, m in SYNONYMS.items()
+        )).encode()
+        stop = ("\n".join(sorted(STOP_WORDS))).encode()
+        self._h = lib.rrt_featurizer_create(
+            vocab_blob, len(vocab_blob), self._df, self._idf, len(self._df),
+            phrases, len(phrases), colors, len(colors),
+            synonyms, len(synonyms), stop, len(stop),
+            query_terms_cap, gate_terms_cap,
+        )
+        self.packed_len = int(lib.rrt_featurizer_packed_len(self._h))
+        self._finalizer = weakref.finalize(
+            self, lib.rrt_featurizer_destroy, self._h
+        )
+
+    def featurize_packed(self, query: str):
+        import numpy as np
+
+        out = np.empty(self.packed_len, np.float32)
+        raw = query.encode("ascii")
+        self._lib.rrt_featurize(self._h, raw, len(raw), out)
+        return out
+
+    def featurize_packed_batch(self, queries):
+        import numpy as np
+
+        blobs = [q.encode("ascii") for q in queries]
+        blob = b"".join(blobs)
+        offsets = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        out = np.empty((len(blobs), self.packed_len), np.float32)
+        self._lib.rrt_featurize_batch(self._h, blob, offsets, len(blobs), out)
+        return out

@@ -44,9 +44,24 @@ class FusionWeights(NamedTuple):
     @classmethod
     def make(cls, w_dense=0.55, w_bm25=0.20, w_rerank=0.20, w_prior=0.20,
              w_best=0.10, prior_c=20.0, min_reviews=8, gate_penalty=0.5):
-        f = lambda v: jnp.float32(v)
-        return cls(f(w_dense), f(w_bm25), f(w_rerank), f(w_prior), f(w_best),
-                   f(prior_c), f(min_reviews), f(gate_penalty))
+        """Device-scalar weights, cached by value: repeated requests with the
+        same knobs (the overwhelmingly common serving case) reuse the same
+        committed device buffers instead of paying 8 tiny host->device
+        transfers per request."""
+        key = (float(w_dense), float(w_bm25), float(w_rerank), float(w_prior),
+               float(w_best), float(prior_c), float(min_reviews),
+               float(gate_penalty))
+        hit = _WEIGHTS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        w = cls(*(jnp.float32(v) for v in key))
+        if len(_WEIGHTS_CACHE) >= 256:
+            _WEIGHTS_CACHE.clear()
+        _WEIGHTS_CACHE[key] = w
+        return w
+
+
+_WEIGHTS_CACHE: dict = {}
 
 
 class FusionResult(NamedTuple):

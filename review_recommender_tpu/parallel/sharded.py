@@ -366,7 +366,7 @@ class ShardedSearchEngine:
         mesh; the batch is replicated, so each chip does one
         (N/n, D) x (D, B) matmul and the merge allgathers B x pool pairs."""
         packed = np.stack(
-            [self.featurizer.featurize(q).pack() for q in queries]
+            [self.featurizer.featurize_packed(q) for q in queries]
         )
         fn = self._get_fused_batch(len(queries), pool, k)
         rows, scores, _bd = fn(
@@ -382,7 +382,7 @@ class ShardedSearchEngine:
         """Returns (corpus row ids (k,), final scores (k,)) — same contract as
         the single-chip SearchEngine.query_fused. Features replicate to the
         mesh as ONE packed buffer."""
-        packed = self.featurizer.featurize(query).pack()
+        packed = self.featurizer.featurize_packed(query)
         fn = self._get_fused(pool, k)
         rows, scores, _bd = fn(
             self.arrays, self.rev_arrays,
@@ -405,7 +405,7 @@ class ShardedSearchEngine:
         if w is None:
             w = FusionWeights.make(**weight_kwargs) if weight_kwargs \
                 else FusionWeights.make()
-        packed = self.featurizer.featurize(query).pack()
+        packed = self.featurizer.featurize_packed(query)
         fn = self._get_fused(min(pool, int(self.arrays["valid"].shape[0])), k)
         rows, scores, bd = fn(
             self.arrays, self.rev_arrays,

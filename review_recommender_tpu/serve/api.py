@@ -48,6 +48,190 @@ SEARCH_KNOBS = (
 )
 
 
+class _Pending:
+    __slots__ = ("query", "qvec", "weights", "k", "pool", "use_snips",
+                 "event", "result", "error")
+
+    def __init__(self, query, qvec, weights, k, pool, use_snips):
+        self.query = query
+        self.qvec = qvec
+        self.weights = weights
+        self.k = k
+        self.pool = pool
+        self.use_snips = use_snips
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Cross-request micro-batching: concurrent /search requests arriving
+    within a short window coalesce into ONE batched device program
+    (query_fused_batched_pw — per-query fusion weights ride in the combined
+    buffer), so concurrent clients reach the engine's batched throughput
+    instead of paying one program dispatch each. Replaces the reference's
+    one-request-at-a-time Streamlit execution model (app:372-432).
+
+    Batch sizes are padded up to fixed buckets so the compile cache stays
+    bounded regardless of client behavior (no compile-per-batch-size DoS).
+    """
+
+    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+    def __init__(self, engine, window_ms: float = None, max_batch: int = None):
+        self.engine = engine
+        self.window = (config.MICROBATCH_WINDOW_MS
+                       if window_ms is None else window_ms) / 1e3
+        self.max_batch = max_batch or config.MICROBATCH_MAX
+        self.max_batch = min(self.max_batch, self.BUCKETS[-1])
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._closed = False
+        self.batches = 0  # observability: programs dispatched
+        self.coalesced = 0  # requests served through them
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="rrt-microbatcher"
+        )
+        self._thread.start()
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def search(self, query: str, qvec, weights, k: int, pool: int,
+               use_snips: bool, timeout: float = 30.0) -> dict:
+        req = _Pending(query, qvec, weights, k, pool, use_snips)
+        with self._cv:
+            self._pending.append(req)
+            self._cv.notify()
+        if not req.event.wait(timeout):
+            raise TimeoutError("micro-batch execution timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ------------------------------------------------------------- internals
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed:
+                    for r in self._pending:
+                        r.error = RuntimeError("server shutting down")
+                        r.event.set()
+                    return
+                deadline = time.perf_counter() + self.window
+                while (len(self._pending) < self.max_batch):
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._pending[: self.max_batch]
+                del self._pending[: len(batch)]
+            try:
+                self._run(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("micro-batch failed")
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def _run(self, batch):
+        import numpy as np
+
+        from review_recommender_tpu.utils.numerics import device_fetch
+
+        # group by program shape (k, pool, use_snips); weights are per-query
+        groups: dict = {}
+        for r in batch:
+            groups.setdefault((r.k, r.pool, r.use_snips), []).append(r)
+        for (k, pool, use_snips), reqs in groups.items():
+            n = len(reqs)
+            bucket = next(b for b in self.BUCKETS if b >= n)
+            pad = bucket - n
+            qvecs = np.stack([r.qvec for r in reqs]
+                             + [reqs[-1].qvec] * pad)
+            queries = [r.query for r in reqs] + [reqs[-1].query] * pad
+            weights = [r.weights for r in reqs] + [reqs[-1].weights] * pad
+            t0 = time.perf_counter()
+            rows, scores, bd = self.engine.query_fused_batched_pw(
+                qvecs, queries, weights, pool, k, use_snips=use_snips
+            )
+            rows, scores, bd = device_fetch(rows, scores, bd)
+            took = (time.perf_counter() - t0) * 1e3
+            self.batches += 1
+            self.coalesced += n
+            for i, r in enumerate(reqs):
+                try:
+                    r.result = self._format(
+                        r, rows[i], scores[i], bd[i], n, took
+                    )
+                except Exception as e:  # pragma: no cover - defensive
+                    r.error = e
+                r.event.set()
+
+    def _format(self, req, rows, scores, bd, batch_n, took_ms) -> dict:
+        import math as _math
+
+        p = self.engine.products
+        last_ts = p.last_ts
+        out_rows = []
+        for rank in range(len(rows)):
+            s = float(scores[rank])
+            if not _math.isfinite(s):
+                continue
+            ridx = int(rows[rank])
+            sig = bd[rank]
+            out_rows.append({
+                "sku": p.skus[ridx],
+                "n_reviews": float(p.n_reviews[ridx]),
+                "avg_stars": float(p.avg_stars[ridx]),
+                **({"last_ts": last_ts[ridx]} if last_ts else {}),
+                "agg_text": p.agg_texts[ridx],
+                "_dense": float(sig[0]), "_bm25": float(sig[1]),
+                "_rerank": float(sig[2]), "_prior": float(sig[3]),
+                "_best": float(sig[4]), "_trust": float(sig[5]),
+                "_gate": float(sig[6]), "_final": s,
+            })
+        snips = {}
+        if req.use_snips and self.engine.reviews is not None and out_rows:
+            import numpy as np
+
+            result_rows = np.asarray(
+                [int(r) for r in rows[: len(out_rows)]], np.int64
+            )
+            # host CSR argmax recovers the displayed snippet text for the
+            # RESULT products (the pool-wide dict is a single-query luxury)
+            best = np.zeros(self.engine.products.n_padded, np.float32)
+            snips = self.engine._snippet_texts(req.qvec, result_rows, best)
+        from review_recommender_tpu.utils.text import (
+            build_gate_groups,
+            tokenize_query,
+        )
+
+        tokens = tokenize_query(req.query)
+        p = self.engine.products
+        bm25_active = config.ENABLE_BM25 and any(
+            p.idf[p.vocab[t]] > 0 for t in tokens if t in p.vocab
+        )
+        return {
+            "results": out_rows,
+            "snippets": snips,
+            "debug": {
+                "bm25_active": bool(bm25_active),
+                "tokens": tokens,
+                "groups": [sorted(g) for g in build_gate_groups(req.query)],
+                "pool": req.pool,
+                "gate_mode": self.engine.gate_mode,
+                "coalesced": batch_n,
+                "batch_ms": round(took_ms, 3),
+            },
+            "took_ms": round(took_ms, 3),
+        }
+
+
 class SearchService:
     """Engine wrapper with warmup + request stats (thread-safe: JAX dispatch
     holds the GIL only briefly; one engine serves all handler threads)."""
@@ -60,6 +244,52 @@ class SearchService:
         self.stats = {"requests": 0, "errors": 0, "total_ms": 0.0}
         self.latency = LatencyStats()
         self._lock = threading.Lock()
+        self.batcher = None
+        if config.ENABLE_MICROBATCH and engine.gate_mode == "device":
+            self.batcher = MicroBatcher(engine)
+
+    def close(self):
+        if self.batcher is not None:
+            self.batcher.close()
+
+    def _batchable(self, payload: dict) -> bool:
+        """A /search request can ride the coalesced fused program when it
+        needs no per-request host hooks: no exact-mode snippet scan, and no
+        live cross-encoder pass (rerank_k=0, no model, or flag off)."""
+        if self.batcher is None:
+            return False
+        if int(payload.get("max_scan", 0) or 0) != 0:
+            return False
+        rerank_k = int(payload.get("rerank_k", config.DEFAULT_RERANK_K))
+        rerank_live = (rerank_k > 0 and self.engine.cross_encoder is not None
+                       and config.ENABLE_RERANKING)
+        return not rerank_live
+
+    def _coalesced_search(self, payload: dict) -> dict:
+        c = config
+        g = lambda name, dflt: payload.get(name, dflt)
+        k = int(g("k", c.DEFAULT_K))
+        pool = max(k, int(g("rerank_k", c.DEFAULT_RERANK_K)),
+                   c.DEFAULT_POOL_SIZE)
+        pool = min(pool, self.engine.products.n_padded)
+        weights = (
+            float(g("w_dense", c.DEFAULT_W_DENSE)),
+            float(g("w_bm25", c.DEFAULT_W_BM25)),
+            float(g("w_rerank", c.DEFAULT_W_RERANK)),
+            float(g("w_prior", c.DEFAULT_W_PRIOR)),
+            float(g("w_best", c.DEFAULT_W_BEST)),
+            float(g("prior_C", c.DEFAULT_PRIOR_C)),
+            float(g("min_reviews", c.DEFAULT_MIN_REVIEWS)),
+            float(g("gate_penalty", c.DEFAULT_GATE_PENALTY)),
+        )
+        if "qvec" in payload:
+            qvec = np.asarray(payload["qvec"], dtype=np.float32)
+        else:
+            qvec = self.engine.encode_query(payload["query"])
+        use_snips = bool(g("use_snips", False)) and config.ENABLE_SNIPPETS
+        return self.batcher.search(
+            payload["query"], qvec, weights, k, pool, use_snips
+        )
 
     WARMUP_KS = (5, 10, 20)  # common top-k values; each k is its own program
 
@@ -73,6 +303,12 @@ class SearchService:
         ks = sorted(set(self.WARMUP_KS) | {int(self.engine_default_k())})
         for k in ks:
             self.engine.run_search("warmup query", qvec=qvec, k=k, rerank_k=0)
+        if self.batcher is not None:
+            # compile the coalesced program for the small buckets; larger
+            # buckets compile on first burst
+            for _ in range(2):
+                self.search({"query": "warmup query", "qvec": qvec.tolist(),
+                             "rerank_k": 0})
         self.ready = True
 
     def engine_default_k(self) -> int:
@@ -82,10 +318,19 @@ class SearchService:
         query = payload.get("query", "")
         if not query:
             raise ValueError("missing 'query'")
+        t0 = time.perf_counter()
+        if self._batchable(payload):
+            out = self._coalesced_search(payload)
+            took_s = time.perf_counter() - t0
+            out["took_ms"] = round(took_s * 1e3, 3)
+            self.latency.record(took_s)
+            with self._lock:
+                self.stats["requests"] += 1
+                self.stats["total_ms"] += out["took_ms"]
+            return out
         kwargs = {k: payload[k] for k in SEARCH_KNOBS if k in payload}
         if "qvec" in payload:
             kwargs["qvec"] = np.asarray(payload["qvec"], dtype=np.float32)
-        t0 = time.perf_counter()
         df, snips, debug = self.engine.run_search(query, **kwargs)
         took_s = time.perf_counter() - t0
         took = took_s * 1e3
@@ -136,7 +381,9 @@ class SearchService:
             qvecs, queries, w, pool, k,
             use_snips=bool(g("use_snips", False)),
         )
-        rows, scores = np.asarray(rows), np.asarray(scores)
+        from review_recommender_tpu.utils.numerics import device_fetch
+
+        rows, scores = device_fetch(rows, scores)
         took = (time.perf_counter() - t0) * 1e3
         skus = self.engine.products.skus
         results = []
@@ -187,6 +434,13 @@ class SearchService:
             "ready": self.ready,
             "stats": dict(self.stats),
             "latency": self.latency.summary(),
+            "microbatch": (
+                {"batches": self.batcher.batches,
+                 "coalesced": self.batcher.coalesced,
+                 "window_ms": self.batcher.window * 1e3,
+                 "max_batch": self.batcher.max_batch}
+                if self.batcher is not None else None
+            ),
         }
 
 

@@ -102,3 +102,24 @@ def cosine_similarity_search(
     k = min(int(top_k), sims.shape[0])
     scores, idx = jax.lax.top_k(sims, k)
     return idx, scores
+
+
+def device_fetch(*arrays):
+    """Fetch device arrays to host with ASYNC copies started up front.
+
+    On a tunneled TPU a SYNCHRONOUS device->host read of each array pays a
+    full network round trip serially (measured ~30 ms-3 s per array on the
+    axon tunnel vs ~1.6 ms with copy_to_host_async + read). Always start the
+    async copies for everything you need, then materialize. Returns numpy
+    arrays in argument order (non-device inputs pass through np.asarray).
+    """
+    import numpy as np
+
+    for a in arrays:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            try:
+                f()
+            except Exception:  # backend without async copies: sync fallback
+                pass
+    return [np.asarray(a) for a in arrays]

@@ -87,3 +87,39 @@ def test_batched_sorted_and_valid(engine):
     sb = np.asarray(sb)
     assert (np.diff(sb, axis=1) <= 1e-9).all()
     assert (np.asarray(rb) < 64).all() and (np.asarray(rb) >= 0).all()
+
+
+def test_per_query_weights_batch_matches_single(engine):
+    """query_fused_batched_pw: a coalesced batch where every query carries
+    DIFFERENT fusion weights must match per-query query_fused with those
+    weights (the serve/api micro-batcher contract)."""
+    rng = np.random.default_rng(7)
+    queries = ["yellow cat socks", "wireless headphones", "kitchen knife",
+               "running shoes"]
+    qvecs = rng.standard_normal((4, 32)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    knob_sets = [
+        (1.0, 0.0, 0.0, 0.0, 0.0, 20.0, 1.0, 1.0),
+        (0.0, 1.0, 0.0, 0.0, 0.0, 20.0, 1.0, 1.0),
+        (0.5, 0.3, 0.0, 0.2, 0.0, 20.0, 5.0, 0.3),
+        (0.4, 0.2, 0.0, 0.1, 0.0, 10.0, 8.0, 0.5),
+    ]
+    rb, sb, bd = engine.query_fused_batched_pw(
+        qvecs, queries, knob_sets, pool=48, k=10)
+    rb, sb, bd = np.asarray(rb), np.asarray(sb), np.asarray(bd)
+    assert bd.shape == (4, 10, 7)
+
+    for i, q in enumerate(queries):
+        w = FusionWeights.make(*knob_sets[i])
+        r1, s1 = engine.query_fused(qvecs[i], q, w, pool=48, k=10)
+        np.testing.assert_allclose(sb[i], np.asarray(s1), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(rb[i], np.asarray(r1))
+    # breakdown sanity: blend * trust * gate reproduces the final score
+    wmat = np.asarray(knob_sets, np.float32)
+    blend = (bd[..., 0] * wmat[:, None, 0] + bd[..., 1] * wmat[:, None, 1]
+             + bd[..., 2] * wmat[:, None, 2] + bd[..., 3] * wmat[:, None, 3]
+             + bd[..., 4] * wmat[:, None, 4]) * bd[..., 5] * bd[..., 6]
+    finite = np.isfinite(sb)
+    np.testing.assert_allclose(blend[finite], sb[finite], rtol=1e-4,
+                               atol=1e-5)
