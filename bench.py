@@ -135,26 +135,31 @@ def _async_read(pairs):
 
 
 def _single_stream_qps(engine, qvecs, qstrings, w, pool, k, n_q,
-                       depth: int = 8) -> float:
-    """Honest streaming client: dispatch query i, read back result i-depth —
-    every response is materialized on host, with a bounded in-flight window."""
-    inflight = []
+                       chunk: int = 32) -> float:
+    """Honest streaming client: queries dispatched one device program each
+    (no batching), every result materialized on host. Readback is chunked —
+    dispatch `chunk` queries, block, async-read their single combined
+    output buffers — because on a tunneled TPU a read interleaved with
+    in-flight work stalls the whole RPC pipeline (measured 68 ms-1.1 s per
+    query vs ~3 ms chunked)."""
+    import jax
+
     t0 = time.perf_counter()
-    for qi in range(n_q):
-        out = engine.query_fused(qvecs[qi], qstrings[qi], w, pool, k)
-        for a in out:
-            f = getattr(a, "copy_to_host_async", None)
+    for lo in range(0, n_q, chunk):
+        outs = [
+            engine.query_fused1(qvecs[qi], qstrings[qi], w, pool, k)
+            for qi in range(lo, min(lo + chunk, n_q))
+        ]
+        jax.block_until_ready(outs)
+        for o in outs:
+            f = getattr(o, "copy_to_host_async", None)
             if f is not None:
                 try:
                     f()
                 except Exception:
                     pass
-        inflight.append(out)
-        if len(inflight) > depth:
-            r, s = inflight.pop(0)
-            np.asarray(r), np.asarray(s)
-    for r, s in inflight:
-        np.asarray(r), np.asarray(s)
+        for o in outs:
+            engine.split_fused1(o)
     return n_q / (time.perf_counter() - t0)
 
 
@@ -231,6 +236,7 @@ def main():
     # warmup / compile
     r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
     np.asarray(r)
+    np.asarray(engine.query_fused1(qvecs[0], qstrings[0], w, pool, k))
     _async_read([engine.query_fused_batched(
         qvecs[:batch], qstrings[:batch], w, pool, k)])
 
@@ -252,6 +258,7 @@ def main():
                             gate_mode="device")
         _async_read([eng8.query_fused_batched(
             qvecs[:batch], qstrings[:batch], w, pool, k)])
+        np.asarray(eng8.query_fused1(qvecs[0], qstrings[0], w, pool, k))
         int8_qps = _batched_qps(eng8, qvecs, qstrings, w, pool, k, n_q, batch)
         single8 = _single_stream_qps(eng8, qvecs, qstrings, w, pool, k, n_q)
         print(json.dumps({"tail_metric": f"hybrid int8 batch={batch}",

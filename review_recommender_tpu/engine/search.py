@@ -116,6 +116,9 @@ class SearchEngine:
         self._fused_packed_pw = jax.jit(
             self._fused_packed_pw_impl, static_argnames=("pool", "k")
         )
+        self._fused_packed1 = jax.jit(
+            self._fused_packed1_impl, static_argnames=("pool", "k")
+        )
 
     def _dense_topk(self, a, qvec, pool):
         """f32/bf16 or int8-quantized dense pool, by what the arrays hold."""
@@ -385,6 +388,37 @@ class SearchEngine:
                                     use_snips, pool=pool, k=k)
 
         return jax.vmap(one)(qp)
+
+    def _fused_packed1_impl(self, a, rev, qp, w, use_snips, *, pool, k):
+        """Fused query with ONE output buffer (k, 9) f32 = [row id, final,
+        dense, bm25, rerank, prior, best, trust, gate]: a streaming client
+        pays a single device->host read per query (row ids are exact in f32
+        below 2^24 rows). See bench.py chunked streaming."""
+        rows, scores, bd = self._fused_packed_impl(a, rev, qp, w, use_snips,
+                                                   pool=pool, k=k)
+        return jnp.concatenate(
+            [rows.astype(jnp.float32)[:, None], scores[:, None], bd], axis=1
+        )
+
+    def query_fused1(self, qvec, query: str, w: FusionWeights, pool: int,
+                     k: int, use_snips: bool = False):
+        """query_fused variant returning ONE device array (k, 9) f32 —
+        split host-side with split_fused1. One h2d transfer in, one d2h
+        read out: the minimum possible tunnel round trips per query."""
+        use_snips = bool(use_snips) and config.ENABLE_SNIPPETS
+        packed = self.featurizer.featurize_packed(query)
+        return self._fused_packed1(
+            self.arrays, self.rev_arrays,
+            jnp.asarray(self._combined(qvec, packed)),
+            w, jnp.bool_(use_snips),
+            pool=min(pool, self.products.n_padded), k=k,
+        )
+
+    @staticmethod
+    def split_fused1(out: np.ndarray):
+        """(k, 9) host buffer -> (row ids (k,) int64, final scores (k,))."""
+        out = np.asarray(out)
+        return out[:, 0].astype(np.int64), out[:, 1]
 
     def _combined(self, qvec, packed) -> np.ndarray:
         qv = np.asarray(qvec, np.float32).reshape(-1)

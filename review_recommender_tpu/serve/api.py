@@ -117,13 +117,12 @@ class MicroBatcher:
             with self._cv:
                 while not self._pending and not self._closed:
                     self._cv.wait()
-                if self._closed:
-                    for r in self._pending:
-                        r.error = RuntimeError("server shutting down")
-                        r.event.set()
+                if self._closed and not self._pending:
                     return
+                # collect within the window; close() flushes immediately
                 deadline = time.perf_counter() + self.window
-                while (len(self._pending) < self.max_batch):
+                while (len(self._pending) < self.max_batch
+                       and not self._closed):
                     remaining = deadline - time.perf_counter()
                     if remaining <= 0:
                         break
