@@ -54,6 +54,47 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.floa
 SNIPPET_NONE = -1e30  # sentinel: product has no scored review
 
 
+def build_pairs_device(cls_id, sep_id, q_raw, q_len, d_tok, d_len):
+    """Device-side [CLS] q [SEP] d [SEP] pair assembly with exact HF layout
+    (no gaps: dynamic_update_slice at the true query length). Shared by the
+    single-chip and sharded e2e paths."""
+    Lq = q_raw.shape[0]
+    Sd = d_tok.shape[1]
+    W = Lq + Sd + 3
+
+    pos = jnp.arange(W)
+    head = jnp.zeros(W, jnp.int32).at[0].set(cls_id)
+    head = jax.lax.dynamic_update_slice(head, q_raw, (1,))
+    # zero q padding past q_len, THEN place the sep (order matters)
+    head = jnp.where((pos > q_len) & (pos < 1 + Lq), 0, head)
+    head = head.at[1 + q_len].set(sep_id)
+
+    def one(drow, dlen):
+        dd = jnp.zeros(Sd + 1, jnp.int32)
+        dd = jax.lax.dynamic_update_slice(dd, drow, (0,))
+        dd = jnp.where(jnp.arange(Sd + 1) >= dlen, 0, dd)
+        dd = dd.at[dlen].set(sep_id)
+        row = jax.lax.dynamic_update_slice(head, dd, (q_len + 2,))
+        total = q_len + 2 + dlen + 1
+        mask = (pos < total).astype(jnp.int32)
+        tt = ((pos >= q_len + 2) & (pos < total)).astype(jnp.int32)
+        return row, mask, tt
+
+    return jax.vmap(one)(d_tok, d_len)
+
+
+def encode_query_ids_device(cls_id, sep_id, q_raw, q_len):
+    """[CLS] q [SEP] input assembly for the bi-encoder query forward."""
+    Lq = q_raw.shape[0]
+    bpos = jnp.arange(Lq + 2)
+    b_ids = jnp.zeros(Lq + 2, jnp.int32).at[0].set(cls_id)
+    b_ids = jax.lax.dynamic_update_slice(b_ids, q_raw, (1,))
+    b_ids = jnp.where((bpos > q_len) & (bpos < 1 + Lq), 0, b_ids)
+    b_ids = b_ids.at[1 + q_len].set(sep_id)
+    b_mask = (bpos < q_len + 2).astype(jnp.int32)
+    return b_ids, b_mask
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -242,45 +283,19 @@ class SearchEngine:
         )
 
     def _build_pairs(self, q_raw, q_len, d_tok, d_len):
-        """Device-side [CLS] q [SEP] d [SEP] pair assembly with exact HF
-        layout (no gaps: dynamic_update_slice at the true query length)."""
         be_tok = self._be.tokenizer
-        cls_id, sep_id = be_tok.cls_id, be_tok.sep_id
-        Lq = q_raw.shape[0]
-        Sd = d_tok.shape[1]
-        W = Lq + Sd + 3
-
-        pos = jnp.arange(W)
-        head = jnp.zeros(W, jnp.int32).at[0].set(cls_id)
-        head = jax.lax.dynamic_update_slice(head, q_raw, (1,))
-        # zero q padding past q_len, THEN place the sep (order matters)
-        head = jnp.where((pos > q_len) & (pos < 1 + Lq), 0, head)
-        head = head.at[1 + q_len].set(sep_id)
-
-        def one(drow, dlen):
-            dd = jnp.zeros(Sd + 1, jnp.int32)
-            dd = jax.lax.dynamic_update_slice(dd, drow, (0,))
-            dd = jnp.where(jnp.arange(Sd + 1) >= dlen, 0, dd)
-            dd = dd.at[dlen].set(sep_id)
-            row = jax.lax.dynamic_update_slice(head, dd, (q_len + 2,))
-            total = q_len + 2 + dlen + 1
-            mask = (pos < total).astype(jnp.int32)
-            tt = ((pos >= q_len + 2) & (pos < total)).astype(jnp.int32)
-            return row, mask, tt
-
-        return jax.vmap(one)(d_tok, d_len)
+        return build_pairs_device(
+            be_tok.cls_id, be_tok.sep_id, q_raw, q_len, d_tok, d_len
+        )
 
     def _e2e_impl(self, a, be_params, ce_params, q_raw, q_len, packed, w,
                   *, pool, k, rr_k):
         be = self._be
         Lq = q_raw.shape[0]
         # bi-encoder forward: [CLS] q [SEP]
-        bpos = jnp.arange(Lq + 2)
-        b_ids = jnp.zeros(Lq + 2, jnp.int32).at[0].set(be.tokenizer.cls_id)
-        b_ids = jax.lax.dynamic_update_slice(b_ids, q_raw, (1,))
-        b_ids = jnp.where((bpos > q_len) & (bpos < 1 + Lq), 0, b_ids)
-        b_ids = b_ids.at[1 + q_len].set(be.tokenizer.sep_id)
-        b_mask = (bpos < q_len + 2).astype(jnp.int32)
+        b_ids, b_mask = encode_query_ids_device(
+            be.tokenizer.cls_id, be.tokenizer.sep_id, q_raw, q_len
+        )
         qvec = be.model.apply(
             {"params": be_params}, b_ids[None], b_mask[None]
         )[0]

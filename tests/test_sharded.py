@@ -93,7 +93,7 @@ class TestFusedSharded:
             w_dense=0.5, w_bm25=0.3, w_rerank=0.0, w_prior=0.2, w_best=0.0,
             prior_c=20.0, min_reviews=5, gate_penalty=0.3,
         )
-        rows_s, scores_s, _res, _pos = single._fused(
+        rows_s, scores_s, _bd = single._fused(
             single.arrays, single.rev_arrays,
             jax.numpy.asarray(q), *_feat(single, query), w,
             jax.numpy.bool_(False), pool=64, k=10,
@@ -129,8 +129,9 @@ class TestFusedSharded:
                       gate_penalty=0.3)
         # pool must match the single-chip default (max(k, rerank_k, 150),
         # clipped to the corpus) — min-max statistics are pool-dependent
-        df_m = sharded.run_search("yellow cat socks", q, k=8, pool=150,
-                                  **kwargs)
+        df_m, _snips_m, dbg_m = sharded.run_search(
+            "yellow cat socks", q, k=8, pool=150, **kwargs)
+        assert dbg_m["n_shards"] == sharded.n_shards
         df_s, _snips, _dbg = single.run_search(
             "yellow cat socks", qvec=q, k=8, rerank_k=0, w_rerank=0.0,
             w_best=0.0, prior_C=20.0, **kwargs,
@@ -153,7 +154,7 @@ class TestFusedSharded:
             w_dense=1.0, w_bm25=0.0, w_rerank=0.0, w_prior=0.0, w_best=0.3,
             prior_c=20.0, min_reviews=1, gate_penalty=1.0,
         )
-        rows_s, scores_s, _r, _p = single._fused(
+        rows_s, scores_s, _bd = single._fused(
             single.arrays, single.rev_arrays,
             jax.numpy.asarray(q), *_feat(single, "yellow socks"), w,
             jax.numpy.bool_(True), pool=32, k=8,
@@ -175,3 +176,99 @@ def _feat(engine, query):
         jnp.asarray(qf.group_phrase_mask), jnp.asarray(qf.group_term_ids),
         jnp.asarray(qf.group_valid),
     )
+
+
+class TestShardedE2E:
+    """On-mesh e2e: encode + sharded retrieve + PAIR-SHARDED cross-encoder
+    rerank in one SPMD program, vs the single-chip e2e on the same towers."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import jax.numpy as jnp
+
+        from review_recommender_tpu.index.build import attach_rerank_tokens
+        from review_recommender_tpu.models.bert import BertConfig
+        from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+        from review_recommender_tpu.models.tokenizer import HashTokenizer
+
+        tok = HashTokenizer(vocab_size=512)
+        be = BiEncoder.random_init(BertConfig.tiny(vocab_size=512),
+                                   tokenizer=tok, seed=0, dtype=jnp.float32)
+        ce = CrossEncoder.random_init(BertConfig.tiny(vocab_size=512),
+                                      tokenizer=tok, seed=1, dtype=jnp.float32)
+        products, _emb, _r, _re = make_corpus(n=32, dim=64, seed=17)
+        for p in products:
+            p["agg_text"] = p["agg_text"][:120]
+        emb = be.encode([p["agg_text"] for p in products])
+        bundle = build_bundle_from_products(products, emb, pad_multiple=8,
+                                            doc_terms_cap=64)
+        attach_rerank_tokens(bundle.products, tok, max_tokens=40)
+
+        single = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+        single.attach_models(be, ce)
+        sharded_e = ShardedSearchEngine(bundle, n_shards=8,
+                                        emb_dtype="float32")
+        sharded_e.attach_models(be, ce)
+        return single, sharded_e
+
+    @pytest.mark.parametrize("query", [
+        "yellow cat socks", "wireless bluetooth headphones",
+    ])
+    def test_e2e_matches_single_chip(self, setup, query):
+        single, sharded_e = setup
+        w = FusionWeights.make(w_dense=0.5, w_bm25=0.2, w_rerank=0.3,
+                               w_prior=0.1, w_best=0.0, prior_c=20.0,
+                               min_reviews=5, gate_penalty=0.5)
+        pool = single.products.n_padded
+        rr_k = 10
+        rows_s, scores_s = single.query_e2e(query, w, pool=pool, k=8,
+                                            rr_k=rr_k)
+        rows_m, scores_m = sharded_e.query_e2e(query, w, pool=pool, k=8,
+                                               rr_k=rr_k)
+        np.testing.assert_allclose(
+            np.asarray(scores_m), np.asarray(scores_s), rtol=5e-4, atol=5e-5)
+        ss, sm = np.asarray(scores_s), np.asarray(scores_m)
+        for i, (a, b) in enumerate(zip(np.asarray(rows_s),
+                                       np.asarray(rows_m))):
+            if a != b:
+                assert abs(ss[i] - sm[i]) < 1e-3
+
+    def test_e2e_requires_attach(self, bundle):
+        eng = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+        w = FusionWeights.make()
+        with pytest.raises(RuntimeError, match="attach_models"):
+            eng.query_e2e("x", w, pool=16, k=4)
+
+
+class TestShardedInt8:
+    def test_int8_matches_f32_ranking(self, bundle):
+        e8 = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="int8")
+        ef = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+        q = _qvec(77)
+        w = FusionWeights.make(w_dense=1.0, w_bm25=0.0, w_prior=0.0,
+                               min_reviews=1, gate_penalty=1.0)
+        r8, s8 = e8.query_fused(q, "wireless headphones", w, pool=16, k=8)
+        rf, sf = ef.query_fused(q, "wireless headphones", w, pool=16, k=8)
+        # int8 quantization noise: top results overlap strongly
+        overlap = len(set(np.asarray(r8).tolist())
+                      & set(np.asarray(rf).tolist()))
+        assert overlap >= 6
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(sf),
+                                   rtol=0.05, atol=0.02)
+
+
+class TestBatchBucketing:
+    def test_odd_batch_sizes_share_programs(self, sharded):
+        rng = np.random.default_rng(5)
+        w = FusionWeights.make(w_dense=1.0, w_bm25=0.0, w_prior=0.0,
+                               min_reviews=1, gate_penalty=1.0)
+        n_before = len(sharded._compiled)
+        for b in (5, 6, 7):  # all pad to bucket 8
+            qvecs = rng.standard_normal((b, 64)).astype(np.float32)
+            qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+            rb, sb = sharded.query_fused_batched(
+                qvecs, ["yellow socks"] * b, w, pool=16, k=4)
+            assert np.asarray(rb).shape == (b, 4)
+        keys = [key for key in sharded._compiled if key[0] == "fused_batch"]
+        new_batch_keys = len(sharded._compiled) - n_before
+        assert new_batch_keys == 1, keys  # ONE bucket-8 program served all
