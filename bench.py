@@ -285,6 +285,47 @@ def main():
             "ms_per_query": round(e2e_ms, 2),
         }))
 
+    if os.getenv("BENCH_PALLAS", "1") == "1":
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
+            # compiled Pallas BM25 kernel vs the XLA scan at full corpus size
+            # (BASELINE config 2 inner loop). Chained timing: each step's
+            # input depends on the previous output, so the device can't
+            # overlap iterations and per-step time is the true program time.
+            from review_recommender_tpu.ops.bm25 import bm25_full_scores
+            from review_recommender_tpu.ops.pallas import (
+                bm25_full_scores_pallas,
+            )
+
+            a = engine.arrays
+            qf = engine.featurizer.featurize(qstrings[0])
+            q_terms = jnp.asarray(qf.q_terms)
+
+            def chain(fn):
+                def step(q_idf):
+                    s = fn(a["doc_terms"], a["doc_tf"], a["doc_len"],
+                           q_terms, q_idf, engine.avgdl)
+                    return q_idf + 1e-12 * s[: q_idf.shape[0]]
+                step = jax.jit(step)
+                x = step(jnp.asarray(qf.q_idf))
+                jax.block_until_ready(x)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    x = step(x)
+                jax.block_until_ready(x)
+                return (time.perf_counter() - t0) / 20 * 1e3
+
+            xla_ms = chain(bm25_full_scores)
+            pallas_ms = chain(bm25_full_scores_pallas)
+            print(json.dumps({
+                "tail_metric": f"full-corpus BM25 scan, N={n_docs} (compiled)",
+                "pallas_kernel_ms": round(pallas_ms, 3),
+                "xla_scan_ms": round(xla_ms, 3),
+                "speedup": round(xla_ms / pallas_ms, 2),
+            }))
+
     cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
 
     print(json.dumps({

@@ -1,88 +1,122 @@
-"""End-to-end quality benchmark: build a themed synthetic corpus, index it,
-run the four reference method configs, and emit the README-style table
-(the reference's evals/run_benchmark.py flow, with honest judgments).
+"""End-to-end quality benchmark: build a large themed synthetic corpus,
+index it, run the four reference method configs, and emit the README-style
+table (the reference's evals/run_benchmark.py flow, with honest judgments).
 
-The corpus is generated from themed word banks (headphones / socks / knives
-/ shoes / cables / ...), dense embeddings come from the deterministic BoW
-projection encoder (models/bow.py) so the dense signal is real, and ground
-truth is by construction: each query is generated from one theme and every
-product of that theme is relevant.
+Design (round-2 rework — the round-1 400-doc/6-query table hit the metric
+ceiling and proved nothing):
 
-Run: python examples/quality_table.py [--n-per-theme 40] [--out evals_out]
+  - corpus: `--themes` themes x `--per-theme` products (default 80 x 640 =
+    51,200 docs), each theme a word bank drawn from a shared pseudo-word
+    vocabulary so themes overlap and confuse the signals, plus filler.
+  - judgments: `--queries` anchor FAMILIES. Each family is one anchor
+    product plus 4 near-duplicate variants sharing ~60% of its tokens,
+    planted among the 51k docs. The query is 5 keywords from the anchor's
+    own text; exactly the 5 family members are relevant — honest by
+    construction (the reference's recycled-ASIN judgments are not), and at
+    5-in-51,200 the task is hard enough that the four methods separate.
+  - dense signal: deterministic BoW projection encoder (models/bow.py);
+    rerank: token-F1 overlap cross-scorer. Real (if simple) models, so the
+    table measures the ENGINE's fusion behavior, not mock output.
+  - latency columns are warm (each method config is compiled + run once
+    before timing), measured around engine.run_search on whatever device
+    JAX selects (the tunneled TPU on the bench box).
+
+Run: python examples/quality_table.py [--themes 80] [--per-theme 640]
+     [--queries 60] [--out evals_out]
 """
 from __future__ import annotations
 
 import argparse
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-THEMES = {
-    "headphones": "wireless bluetooth headphones noise cancelling bass sound audio battery over ear comfortable pairing".split(),
-    "socks": "socks cotton soft yellow cat kitten design cute warm cozy pair colorful".split(),
-    "knives": "kitchen knife stainless steel sharp blade chef cutting handle balanced".split(),
-    "shoes": "running shoes lightweight breathable mesh comfortable cushion sole lace support".split(),
-    "cables": "usb cable charging fast durable braided connector charger cord port".split(),
-    "tea": "green tea organic loose leaf antioxidant brew flavor natural healthy".split(),
-    # confusable distractor themes: share vocabulary with a target theme but
-    # are never relevant — these force the methods apart
-    "speakers": "bluetooth speaker portable bass sound audio loud battery waterproof stereo wireless".split(),
-    "boots": "leather boots waterproof hiking comfortable sole lace durable warm shoes".split(),
-    "chargers": "wall charger usb fast charging adapter power port compact plug cable".split(),
-    "coffee": "coffee beans organic roast ground flavor aroma brew fresh dark".split(),
-}
-DISTRACTORS = {"speakers", "boots", "chargers", "coffee"}
-FILLER = "great good product quality really nice love works perfect recommend value price happy".split()
+FILLER = ("great good product quality really nice love works perfect "
+          "recommend value price happy bought using daily sturdy arrived "
+          "fast packaging exactly described month year still").split()
 
-QUERIES = {
-    "headphones": "wireless bluetooth headphones with noise cancelling",
-    "socks": "yellow socks with cat design",
-    "knives": "stainless steel kitchen knife sharp",
-    "shoes": "comfortable running shoes lightweight",
-    "cables": "usb fast charging cable durable",
-    "tea": "organic green tea loose leaf",
-}
+_CONS = list("bcdfghjklmnpqrstvwz")
+_VOW = list("aeiou")
 
 
-def build_corpus(n_per_theme: int, seed: int = 0):
+def _pseudo_word(rng) -> str:
+    n = int(rng.integers(2, 5))
+    return "".join(
+        _CONS[int(rng.integers(len(_CONS)))] + _VOW[int(rng.integers(len(_VOW)))]
+        for _ in range(n)
+    )
+
+
+def build_corpus(n_themes: int, per_theme: int, n_queries: int,
+                 family: int = 5, seed: int = 0):
     rng = np.random.default_rng(seed)
-    all_words = sorted({w for ws in THEMES.values() for w in ws})
-    products, reviews, truth = [], [], {}
-    i = 0
-    for theme, words in THEMES.items():
-        truth[theme] = []
-        for _ in range(n_per_theme):
-            sku = f"{theme[:3].upper()}{i:04d}"
-            truth[theme].append(sku)
-            n_words = int(rng.integers(20, 60))
-            # theme words + filler + cross-theme contamination (noise that
-            # makes the signals disagree, like real review text does)
+    vocab = sorted({_pseudo_word(rng) for _ in range(3000)})
+    theme_words = [
+        list(rng.choice(vocab, size=14, replace=False))
+        for _ in range(n_themes)
+    ]
+
+    products = []
+    for t in range(n_themes):
+        words = theme_words[t]
+        for j in range(per_theme):
+            n_words = int(rng.integers(24, 64))
             toks = (list(rng.choice(words, size=n_words // 2))
                     + list(rng.choice(FILLER, size=n_words // 4))
-                    + list(rng.choice(all_words, size=n_words // 4)))
+                    + list(rng.choice(vocab, size=n_words // 4)))
             rng.shuffle(toks)
             products.append({
-                "sku": sku,
+                "sku": f"T{t:03d}P{j:04d}",
                 "agg_text": " ".join(toks),
                 "n_reviews": float(rng.integers(3, 300)),
                 "avg_stars": float(np.clip(rng.normal(4.1, 0.6), 1, 5)),
             })
-            for _ in range(3):
-                rtoks = list(rng.choice(words, size=6)) + list(rng.choice(FILLER, size=6))
-                reviews.append({"sku": sku, "text": " ".join(rtoks),
-                                "stars": float(rng.integers(1, 6))})
-            i += 1
-    return products, reviews, truth
+
+    # plant anchor families: anchor + (family-1) near-duplicates that share
+    # ~60% of the anchor's tokens, overwriting members of the anchor's theme
+    queries = []
+    n = len(products)
+    anchor_rows = rng.choice(n, size=n_queries, replace=False)
+    for qi, row in enumerate(anchor_rows):
+        anchor = products[int(row)]
+        toks = anchor["agg_text"].split()
+        fam = [anchor["sku"]]
+        theme = int(anchor["sku"][1:4])
+        for v in range(family - 1):
+            victim = theme * per_theme + int(rng.integers(per_theme))
+            while victim == int(row) or "V" in products[victim]["sku"]:
+                victim = theme * per_theme + int(rng.integers(per_theme))
+            keep = rng.random(len(toks)) < 0.6
+            vtoks = ([t for t, k in zip(toks, keep) if k]
+                     + list(rng.choice(theme_words[theme],
+                                       size=max(1, (~keep).sum() // 2))))
+            rng.shuffle(vtoks)
+            sku = f"T{theme:03d}V{qi:03d}{v}"
+            products[victim] = {**products[victim], "sku": sku,
+                                "agg_text": " ".join(vtoks)}
+            fam.append(sku)
+        kw = sorted({t for t in toks if len(t) >= 4})
+        pick = rng.choice(len(kw), size=min(5, len(kw)), replace=False)
+        queries.append({
+            "id": f"q{qi:03d}",
+            "query": " ".join(kw[i] for i in sorted(pick)),
+            "relevant_skus": sorted(set(fam)),
+        })
+    return products, queries
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-per-theme", type=int, default=40)
+    ap.add_argument("--themes", type=int, default=80)
+    ap.add_argument("--per-theme", type=int, default=640)
+    ap.add_argument("--queries", type=int, default=60)
     ap.add_argument("--out", default="evals_out")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
     args = ap.parse_args(argv)
 
     from review_recommender_tpu.engine.search import SearchEngine
@@ -91,36 +125,37 @@ def main(argv=None) -> int:
         run_performance_benchmark,
         save_benchmark_results,
     )
-    from review_recommender_tpu.evals.queries import BENCHMARK_CONFIGS
     from review_recommender_tpu.index.build import build_bundle_from_products
     from review_recommender_tpu.models.bow import (
         BowProjectionEncoder,
         OverlapCrossScorer,
     )
 
-    products, reviews, truth = build_corpus(args.n_per_theme, args.seed)
-    encoder = BowProjectionEncoder(dim=128, seed=7)
+    t0 = time.perf_counter()
+    products, queries = build_corpus(args.themes, args.per_theme,
+                                     args.queries, seed=args.seed)
+    print(f"corpus: {len(products)} docs, {len(queries)} judged queries "
+          f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+
+    encoder = BowProjectionEncoder(dim=384, seed=7)
+    t0 = time.perf_counter()
     emb = encoder.encode([p["agg_text"] for p in products])
-    remb = encoder.encode([r["text"] for r in reviews])
+    print(f"encode: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
     bundle = build_bundle_from_products(
-        products, emb, reviews=reviews, review_embeddings=remb,
-        doc_terms_cap=128, pad_multiple=64,
+        products, emb, doc_terms_cap=128, pad_multiple=256,
     )
+    print(f"index: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     engine = SearchEngine(
         bundle, query_encoder=encoder, cross_encoder=OverlapCrossScorer(),
-        gate_mode="host",
+        gate_mode=args.gate_mode,
     )
-
-    queries = [
-        {"id": theme, "query": q, "relevant_skus": truth[theme]}
-        for theme, q in QUERIES.items()  # distractor themes are never queried
-    ]
 
     def search(q, **cfg):
         df, _s, _d = engine.run_search(q, **cfg)
         return df
 
-    results = run_performance_benchmark(search, queries)
+    results = run_performance_benchmark(search, queries, warmup=True)
     save_benchmark_results(results, args.out)
     print(format_results_table(results))
     return 0

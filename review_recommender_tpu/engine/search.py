@@ -803,7 +803,9 @@ class SearchEngine:
         return idx, scores
 
     def _pallas_ok(self) -> bool:
-        """Pallas kernels: enabled + TPU backend + tile-aligned corpus."""
+        """Pallas kernels: enabled + TPU backend + tile-aligned corpus.
+        Allowlist on the platform name ("tpu"; the axon plugin also reports
+        tpu) — safer than the old cpu/gpu denylist for future platforms."""
         if self._pallas_usable is None:
             usable = False
             if config.USE_PALLAS:
@@ -813,7 +815,7 @@ class SearchEngine:
                     plat = jax.devices()[0].platform.lower()
                     usable = (
                         self.products.n_padded % TILE_N == 0
-                        and plat not in ("cpu", "gpu")
+                        and plat in ("tpu", "axon")
                     )
                 except Exception:
                     usable = False

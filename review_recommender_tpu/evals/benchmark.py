@@ -44,11 +44,18 @@ def run_performance_benchmark(
     queries: Sequence[Mapping],
     method_configs: Optional[Mapping[str, Mapping]] = None,
     k_values: Sequence[int] = (5, 10, 20),
+    warmup: bool = False,
 ) -> Dict[str, Dict]:
-    """Sweep methods x queries, recording quality AND latency per method."""
+    """Sweep methods x queries, recording quality AND latency per method.
+
+    warmup=True runs each method config once (untimed) before the sweep so
+    the latency columns are warm — a method's first query otherwise pays
+    its XLA compile and pollutes p99 (round-1 VERDICT: a 205 s 'p99')."""
     method_configs = method_configs or BENCHMARK_CONFIGS
     results: Dict[str, Dict] = {}
     for method, cfg in method_configs.items():
+        if warmup and queries:
+            search_fn(queries[0]["query"], **dict(cfg))
         metrics = IRMetrics(k_values)
         lat: list = []
         for q in queries:
