@@ -558,6 +558,27 @@ class SearchEngine:
         pool = max(k, rerank_k, c.DEFAULT_POOL_SIZE)
         pool = min(pool, self.products.n_padded)
 
+        # ---- single-program fast path ----
+        # When no host hook needs candidate identity mid-query (no live
+        # cross-encoder, device gate, no exact/text snippets), the whole
+        # query runs as ONE fused program with ONE result fetch. On the
+        # tunneled TPU every device-blocking op pays a ~31 ms polling stall,
+        # so halving the sync points halves single-request latency.
+        rerank_live = (rerank_k > 0 and self.cross_encoder is not None
+                       and c.ENABLE_RERANKING)
+        use_snips_eff = (bool(use_snips) and c.ENABLE_SNIPPETS
+                         and self.reviews is not None)
+        if (self.gate_mode == "device" and not rerank_live
+                and not use_snips_eff and int(max_scan or 0) == 0):
+            with timer.stage("fused_query"):
+                out = self._fused_packed1(
+                    self.arrays, self.rev_arrays,
+                    jnp.asarray(self._combined(np.asarray(qvec), qf.pack())),
+                    w, jnp.bool_(False), pool=pool, k=min(k, pool),
+                )
+                (buf,) = device_fetch(out)
+            return self._rows_from_fused1(buf, qf, pool, timer)
+
         with timer.stage("retrieve"):
             st = self._stage_a(
                 self.arrays, qvec,
@@ -696,6 +717,40 @@ class SearchEngine:
                          for name, v in timer.summary().items()},
         }
         return df, snips, debug
+
+    def _rows_from_fused1(self, buf: np.ndarray, qf, pool: int, timer):
+        """(k, 9) fused-program output -> the run_search (df, snips, debug)
+        contract. Column layout per _fused_packed1_impl: [row id, final,
+        dense, bm25, rerank, prior, best, trust, gate]."""
+        last_ts = self.products.last_ts
+        rows = []
+        for r in buf:
+            if not math.isfinite(r[1]):
+                break
+            ridx = int(r[0])
+            rows.append({
+                "sku": self.products.skus[ridx],
+                "n_reviews": float(self.products.n_reviews[ridx]),
+                "avg_stars": float(self.products.avg_stars[ridx]),
+                **({"last_ts": last_ts[ridx]} if last_ts else {}),
+                "agg_text": self.products.agg_texts[ridx],
+                "_dense": float(r[2]), "_bm25": float(r[3]),
+                "_rerank": float(r[4]), "_prior": float(r[5]),
+                "_best": float(r[6]), "_trust": float(r[7]),
+                "_gate": float(r[8]), "_final": float(r[1]),
+            })
+        debug = {
+            "bm25_active": bool(np.any(qf.q_idf > 0)),
+            "tokens": qf.tokens,
+            "groups": [sorted(g) for g in qf.groups],
+            "pool": pool,
+            "gate_mode": self.gate_mode,
+            "n_results": len(rows),
+            "fused": True,
+            "stage_ms": {name: v["total_ms"]
+                         for name, v in timer.summary().items()},
+        }
+        return pd.DataFrame(rows), {}, debug
 
     # ---------------------------------------------------------------- snippets
     def _snippet_texts(self, qvec, cand_rows, best_full) -> Dict[str, dict]:

@@ -20,9 +20,13 @@ Endpoints:
                            ...engine knobs...} -> IR metrics (the
                           reference's BYO-dev-set Metrics tab, app:434-474)
   POST /search_batch      {"queries": [...], "k": 10, shared fusion knobs}
-                          -> high-throughput path: ONE batched device
-                          program for the whole request (results carry sku
-                          + final score; use /search for signal breakdowns)
+                          -> explicit bulk path: ONE batched device program
+                          for the whole request. LIMITS (by design, stated
+                          here rather than silent): no cross-encoder rerank
+                          (w_rerank is forced 0 — send individual /search
+                          requests, which coalesce via the micro-batcher
+                          and support every knob) and one shared weight set
+                          per request. Results carry sku + final score.
 
 Search parameters accept exactly the run_search surface
 (app/app_product_search.py:245-248 parity).

@@ -105,23 +105,20 @@ def cosine_similarity_search(
 
 
 def device_fetch(*arrays):
-    """Fetch device arrays to host: block until READY first, then start
-    async copies for everything, then materialize.
+    """Fetch device arrays to host with ASYNC copies started up front.
 
-    Both steps matter on a tunneled TPU: a d2h read that overlaps in-flight
-    device work stalls the whole RPC pipeline (measured 68 ms-1.1 s per
-    array), and a SYNCHRONOUS read of each ready array still pays a full
-    round trip serially (~30 ms-3 s) — whereas ready + async-copy + read is
-    ~1.6 ms per array. Returns numpy arrays in argument order (non-device
-    inputs pass through np.asarray).
+    Measured on the tunneled TPU: the FIRST device-blocking operation per
+    dispatched program costs ~31 ms regardless of kind (a tunnel polling
+    interval) — sync-reading k arrays serially costs ~31 ms EACH, and an
+    explicit block_until_ready spends one stall before the read spends
+    another. Starting async copies for everything and then materializing
+    pays the stall once for the whole set (~31 ms + ~1.6 ms/array).
+    Throughput paths amortize the stall by fetching whole chunks/batches
+    (bench.py chunked streaming, serve/api micro-batching). Returns numpy
+    arrays in argument order (non-device inputs pass through np.asarray).
     """
-    import jax
     import numpy as np
 
-    try:
-        jax.block_until_ready([a for a in arrays if hasattr(a, "block_until_ready")])
-    except Exception:
-        pass
     for a in arrays:
         f = getattr(a, "copy_to_host_async", None)
         if f is not None:
