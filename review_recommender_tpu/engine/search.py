@@ -551,6 +551,10 @@ class SearchEngine:
         if qvec is None:
             with timer.stage("encode_query"):
                 qvec = self.encode_query(query)
+        # keep a HOST copy: converting to device here and reading it back in
+        # the fast path would cost a full tunnel sync (device_fetch doc)
+        qvec_h = (np.asarray(qvec, dtype=np.float32)
+                  if not isinstance(qvec, jax.Array) else qvec)
         qvec = jnp.asarray(qvec, dtype=jnp.float32)
 
         with timer.stage("featurize"):
@@ -569,13 +573,17 @@ class SearchEngine:
         use_snips_eff = (bool(use_snips) and c.ENABLE_SNIPPETS
                          and self.reviews is not None)
         if (self.gate_mode == "device" and not rerank_live
-                and not use_snips_eff and int(max_scan or 0) == 0):
+                and not use_snips_eff and int(max_scan or 0) == 0
+                and not isinstance(qvec_h, jax.Array)):
+            if not hasattr(self, "_false"):
+                self._false = jnp.bool_(False)  # cached device scalar
             with timer.stage("fused_query"):
                 out = self._fused_packed1(
                     self.arrays, self.rev_arrays,
-                    jnp.asarray(self._combined(np.asarray(qvec), qf.pack())),
-                    w, jnp.bool_(False), pool=pool, k=min(k, pool),
+                    jnp.asarray(self._combined(qvec_h, qf.pack())),
+                    w, self._false, pool=pool, k=min(k, pool),
                 )
+            with timer.stage("fetch"):
                 (buf,) = device_fetch(out)
             return self._rows_from_fused1(buf, qf, pool, timer)
 
