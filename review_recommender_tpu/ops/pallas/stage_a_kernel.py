@@ -1,29 +1,35 @@
 """Pallas TPU kernel prototype: fused stage-A — dense matmul + per-tile
-partial top-k + candidate postings gather + masked BM25, in ONE pass over
-the corpus (ROADMAP round-1 item #4; VERDICT r1 next-step 6).
+partial top-k in ONE pass over the corpus, winner postings gathered in XLA
+(ROADMAP round-1 item #4; VERDICT r1 next-step 6).
 
-Motivation: the XLA stage-A program reads the (N, D) embedding matrix for
-the matmul, materializes (B, N) scores, runs a global lax.top_k sweep, then
-gathers candidate postings in a separate pass. This kernel computes, per
-(TILE_N x D) embedding tile resident in VMEM:
+Motivation: the XLA stage-A program reads the (N, D) embedding matrix,
+materializes (B, N) scores, and runs a global lax.top_k sweep. This kernel
+computes, per (TILE_N x D) embedding tile resident in VMEM:
 
   1. dense scores for the tile:  (TILE_N, D) @ (D, B) on the MXU
   2. per-tile partial top-M per query (M max+mask rounds on the VPU — the
      tile is already in VMEM, so the extra passes are free vs HBM)
-  3. for each winner row: DMA its (L,) eager-BM25 postings row from HBM
-     (~KBs per tile instead of streaming the full (N, L) postings), masked
-     sum against the query term ids = the BM25 signal for that candidate
 
-Outputs (n_tiles, M, B) winner scores / global ids / BM25 scores; the tiny
-global merge (top-pool over n_tiles*M tile winners) runs in XLA after the
-kernel.
+so the (B, N) score matrix never materializes in HBM: only (n_tiles, M, B)
+tile winners are written. The global merge (top-pool over n_tiles*M) and
+the candidate postings gather + masked eager-BM25 run in XLA afterwards —
+the pool is ~150 rows, microseconds of work.
+
+NEGATIVE RESULT, RECORDED: a variant that also DMA'd each winner's postings
+row from HBM inside the kernel (fusing the BM25 gather into the scan) does
+not compile on Mosaic — reading a winner row id back from a VMEM output
+needs a dynamic-lane scalar load ("cannot statically prove index in
+dimension 2 is a multiple of 128"); routing the ids through SMEM requires
+per-lane scalar extracts with the same constraint. The gather belongs in
+XLA, where a 150-row take is free. (Interpret-mode worked; compiled did
+not — kept here as documentation so the next round doesn't re-walk it.)
 
 APPROXIMATION CONTRACT: the global top-pool is exact only if no single tile
 contains more than M of the true top-pool rows. For pool=150 over randomly
-distributed scores and M=16, recall vs exact top-k is >0.999 in practice
-(tested); callers that need exactness use the XLA path. This mirrors
-lax.approx_max_k's trade — the kernel exists to measure whether fusing the
-gather+BM25 into the scan pays (record the result either way).
+distributed scores and M=16 x 98 tiles, recall vs exact top-k is >0.999 in
+practice (tested); callers that need exactness use the XLA path. This
+mirrors lax.approx_max_k's trade — the kernel exists to measure whether the
+blockwise scan beats XLA's matmul+top_k (record the result either way).
 """
 from __future__ import annotations
 
@@ -38,21 +44,14 @@ TILE_N = 2048
 M_PER_TILE = 16
 
 
-def _stage_a_kernel(q_ref, qterms_ref, emb_ref, valid_ref, terms_hbm,
-                    bm25_hbm, out_s_ref, out_i_ref, out_b_ref,
-                    terms_vmem, bm25_vmem, sem):
+def _stage_a_kernel(q_ref, emb_ref, valid_ref, out_s_ref, out_i_ref):
     """One grid step = one corpus tile.
 
     q_ref      (D, B) f32 VMEM — query matrix (replicated per tile)
-    qterms_ref (1, Q) i32 SMEM-ish VMEM — query term ids (0 = PAD)
     emb_ref    (TILE_N, D) VMEM tile of the corpus
     valid_ref  (TILE_N, 1) f32 tile (1.0 = real row)
-    terms_hbm  (N, L) i32 in HBM — postings term ids (manual DMA)
-    bm25_hbm   (N, L) f32 in HBM — eager BM25 contributions
-    out_*      (M, B) winner dense scores / LOCAL row ids / bm25 scores
-    terms_vmem/bm25_vmem (M, L) scratch; sem: DMA semaphores (2,)
+    out_*      (1, M, B) winner dense scores / LOCAL row ids
     """
-    i = pl.program_id(0)
     emb = emb_ref[:]
     scores = jnp.dot(emb, q_ref[:].astype(emb.dtype),
                      preferred_element_type=jnp.float32)  # (Tn, B)
@@ -72,41 +71,7 @@ def _stage_a_kernel(q_ref, qterms_ref, emb_ref, valid_ref, terms_hbm,
         hit = row_ids == arg[None, :]  # (Tn, B)
         return jnp.where(hit, neg, sc)
 
-    scores = jax.lax.fori_loop(0, M_PER_TILE, round_body, scores)
-
-    # candidate postings gather: for every (round m, query b) winner, DMA
-    # its postings row from HBM into a 1-row VMEM slot and compute the
-    # masked eager-BM25 sum — M*B tiny row DMAs (~KBs/tile) instead of
-    # streaming the full (N, L) postings like the XLA full-corpus scan.
-    q_terms = qterms_ref[0, :]  # (Q,) i32
-
-    def bm25_for(m, b, slot):
-        row = out_i_ref[0, m, b] + i * TILE_N
-        dma_t = pltpu.make_async_copy(
-            terms_hbm.at[pl.ds(row, 1), :], terms_vmem.at[pl.ds(slot, 1), :],
-            sem.at[0],
-        )
-        dma_b = pltpu.make_async_copy(
-            bm25_hbm.at[pl.ds(row, 1), :], bm25_vmem.at[pl.ds(slot, 1), :],
-            sem.at[1],
-        )
-        dma_t.start()
-        dma_b.start()
-        dma_t.wait()
-        dma_b.wait()
-        t = terms_vmem[slot, :]  # (L,)
-        v = bm25_vmem[slot, :]
-        match = t[:, None] == q_terms[None, :]  # (L, Q)
-        return jnp.sum(jnp.where(match, v[:, None], 0.0))
-
-    def m_body(m, _):
-        def b_body(b, _):
-            out_b_ref[0, m, b] = bm25_for(m, b, 0)
-            return 0
-        jax.lax.fori_loop(0, out_b_ref.shape[2], b_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, M_PER_TILE, m_body, 0)
+    jax.lax.fori_loop(0, M_PER_TILE, round_body, scores)
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "interpret"))
@@ -125,65 +90,53 @@ def stage_a_fused_pallas(
     n, d = emb.shape
     assert n % TILE_N == 0, (n, TILE_N)
     b = qvecs.shape[0]
-    l = doc_terms.shape[1]
     n_tiles = n // TILE_N
 
-    grid = (n_tiles,)
-    out_s, out_i, out_b = pl.pallas_call(
+    out_s, out_i = pl.pallas_call(
         _stage_a_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, M_PER_TILE, b), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, M_PER_TILE, b), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, M_PER_TILE, b), jnp.float32),
         ),
-        grid=grid,
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((d, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_terms.shape[0]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # postings stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, M_PER_TILE, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M_PER_TILE, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_PER_TILE, b), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, l), jnp.int32),
-            pltpu.VMEM((1, l), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * d * b,
-            bytes_accessed=n * d * emb.dtype.itemsize + n_tiles * M_PER_TILE
-            * b * (2 * l * 4 + 12),
+            bytes_accessed=n * d * emb.dtype.itemsize
+            + n_tiles * M_PER_TILE * b * 8,
             transcendentals=0,
         ),
     )(
         jnp.asarray(qvecs, jnp.float32).T,
-        q_terms.reshape(1, -1),
         emb,
         valid.astype(jnp.float32).reshape(n, 1),
-        doc_terms,
-        doc_bm25,
     )
 
-    # global merge in XLA: tiny (n_tiles*M, B) tensors
+    # global merge + winner postings gather + masked BM25, all in XLA:
+    # tiny (n_tiles*M, B) tensors and a (B, pool, L) gather
     base = (jnp.arange(n_tiles, dtype=jnp.int32) * TILE_N)[:, None, None]
     flat_s = out_s.reshape(-1, b).T          # (B, n_tiles*M)
     flat_i = (out_i + base).reshape(-1, b).T
-    flat_b = out_b.reshape(-1, b).T
     kk = min(pool, flat_s.shape[1])
     dense, sel = jax.lax.top_k(flat_s, kk)
     idx = jnp.take_along_axis(flat_i, sel, axis=1)
-    bm25 = jnp.take_along_axis(flat_b, sel, axis=1)
+
+    cand_terms = jnp.take(doc_terms, idx, axis=0)   # (B, pool, L)
+    cand_bm25 = jnp.take(doc_bm25, idx, axis=0)
+    match = cand_terms[:, :, :, None] == q_terms[None, None, None, :]
+    bm25 = jnp.sum(jnp.where(match, cand_bm25[:, :, :, None], 0.0),
+                   axis=(2, 3))
     return dense, idx, bm25
