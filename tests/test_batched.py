@@ -74,7 +74,11 @@ def test_stage_timing_in_debug(engine):
     _df, _s, dbg = engine.run_search("wireless keyboard", qvec=qv, k=5,
                                      rerank_k=0)
     assert "stage_ms" in dbg
-    assert {"featurize", "retrieve", "fuse"} <= set(dbg["stage_ms"])
+    stages = set(dbg["stage_ms"])
+    # single-program fast path reports one fused stage; the general path
+    # reports the per-stage breakdown
+    assert "featurize" in stages
+    assert "fused_query" in stages or {"retrieve", "fuse"} <= stages
     assert all(v >= 0 for v in dbg["stage_ms"].values())
 
 
