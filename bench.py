@@ -207,7 +207,35 @@ def _make_e2e_engine(pidx, dim, seed=0):
     return engine
 
 
+def _ensure_native():
+    """Best-effort build of librrt_native.so — without it the featurizer
+    silently uses the (7x slower cold) Python fallback and the bench
+    under-reports host throughput."""
+    import subprocess
+    import sys
+
+    from review_recommender_tpu.native import native_available
+
+    if native_available():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", "review_recommender_tpu/native"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
+    # reset the memoized handle so the fresh .so is picked up
+    from review_recommender_tpu import native as _n
+
+    _n._lib.cache_clear()
+    print(f"native featurizer available: {native_available()}",
+          file=sys.stderr)
+
+
 def main():
+    _ensure_native()
     n_docs = int(os.getenv("BENCH_N_DOCS", "200000"))
     dim = int(os.getenv("BENCH_DIM", "384"))
     n_q = int(os.getenv("BENCH_QUERIES", "256"))
@@ -219,6 +247,10 @@ def main():
     from review_recommender_tpu.index.schema import IndexBundle
     from review_recommender_tpu.ops.fusion import FusionWeights
 
+    batch = int(os.getenv("BENCH_BATCH", "32"))
+    big_batch = int(os.getenv("BENCH_BATCH_BIG", "128"))
+    n_q = max(n_q - n_q % max(batch, big_batch), max(batch, big_batch))
+
     pidx = _synth_index(n_docs, dim, vocab_size, terms_per_doc=64)
     rng = np.random.default_rng(42)
     qvecs, qterm_ids, qstrings = _queries(rng, n_q, dim, vocab_size)
@@ -228,10 +260,6 @@ def main():
     w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_rerank=0.0,
                            w_prior=0.2, w_best=0.0, prior_c=20.0,
                            min_reviews=8, gate_penalty=1.0)
-
-    batch = int(os.getenv("BENCH_BATCH", "32"))
-    big_batch = int(os.getenv("BENCH_BATCH_BIG", "128"))
-    n_q = max(n_q - n_q % max(batch, big_batch), max(batch, big_batch))
 
     # warmup / compile
     r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
@@ -252,6 +280,26 @@ def main():
                                big_batch)
         print(json.dumps({"tail_metric": f"hybrid bf16 batch={big_batch}",
                           "qps": round(big_qps, 2)}))
+
+    if os.getenv("BENCH_STRIPED", "1") == "1":
+        # DENSE_POOL_MODE=striped: two-stage stripe-max pool replaces the
+        # full-corpus lax.top_k (ops/dense.py:striped_topk — exact scores,
+        # ~0.99 pool recall at pool=150/8192 stripes)
+        engs = SearchEngine(IndexBundle(products=pidx),
+                            emb_dtype="bfloat16", gate_mode="device",
+                            dense_pool="striped")
+        _async_read([engs.query_fused_batched(
+            qvecs[:batch], qstrings[:batch], w, pool, k)])
+        np.asarray(engs.query_fused1(qvecs[0], qstrings[0], w, pool, k))
+        striped_qps = _batched_qps(engs, qvecs, qstrings, w, pool, k, n_q,
+                                   batch)
+        striped1 = _single_stream_qps(engs, qvecs, qstrings, w, pool, k, n_q)
+        print(json.dumps({
+            "tail_metric": f"hybrid bf16 striped-pool batch={batch}",
+            "qps": round(striped_qps, 2),
+            "single_stream_qps": round(striped1, 2),
+        }))
+        del engs
 
     if os.getenv("BENCH_INT8", "1") == "1":
         eng8 = SearchEngine(IndexBundle(products=pidx), emb_dtype="int8",
@@ -325,6 +373,85 @@ def main():
                 "xla_scan_ms": round(xla_ms, 3),
                 "speedup": round(xla_ms / pallas_ms, 2),
             }))
+
+    if os.getenv("BENCH_STAGEA", "1") == "1":
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
+            # fused stage-A Pallas kernel (dense matmul + per-tile partial
+            # top-k, no (B, N) HBM materialization) vs the XLA stage-A
+            # (matmul + global lax.top_k + winner gather). Same chained-
+            # timing method as the BM25 section. VERDICT r1 item 6.
+            from review_recommender_tpu.index.build import eager_bm25_scores
+            from review_recommender_tpu.ops.dense import dense_topk_batched
+            from review_recommender_tpu.ops.pallas.stage_a_kernel import (
+                TILE_N,
+                stage_a_fused_pallas,
+            )
+
+            n_pad = pidx.n_padded
+            n_k = (n_pad + TILE_N - 1) // TILE_N * TILE_N
+            padk = lambda x: np.pad(
+                x, [(0, n_k - n_pad)] + [(0, 0)] * (x.ndim - 1))
+            emb_k = jnp.asarray(padk(pidx.emb), jnp.bfloat16)
+            valid_k = jnp.asarray(padk(pidx.valid))
+            terms_k = jnp.asarray(padk(pidx.doc_terms))
+            bm25_k = jnp.asarray(padk(eager_bm25_scores(
+                pidx.doc_terms, pidx.doc_tf, pidx.doc_len, pidx.idf,
+                pidx.avgdl)))
+            qv = jnp.asarray(qvecs[:batch])
+            qt = jnp.asarray(qterm_ids[:batch])
+
+            def chain_sa(fn):
+                def step(q):
+                    out = fn(q)
+                    # fold a hair of every output back into q: serializes
+                    # steps so per-step time is true program time
+                    eps = (jnp.sum(out[0][:, :1]) + jnp.sum(
+                        out[2][:, :1])) * 1e-12
+                    return q + eps.astype(q.dtype)
+                x = step(qv)
+                jax.block_until_ready(x)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    x = step(x)
+                jax.block_until_ready(x)
+                return (time.perf_counter() - t0) / 20 * 1e3
+
+            @jax.jit
+            def xla_stage_a(q):
+                dense, idx = dense_topk_batched(emb_k, q, valid_k, pool)
+                cand_terms = jnp.take(terms_k, idx, axis=0)
+                cand_bm25 = jnp.take(bm25_k, idx, axis=0)
+                match = cand_terms[:, :, :, None] == qt[:, None, None, :]
+                bm = jnp.sum(jnp.where(match, cand_bm25[:, :, :, None], 0.0),
+                             axis=(2, 3))
+                return dense, idx, bm
+
+            @jax.jit
+            def pallas_stage_a(q):
+                return stage_a_fused_pallas(
+                    emb_k, valid_k, terms_k, bm25_k, q, qt, pool=pool)
+
+            xla_ms = chain_sa(xla_stage_a)
+            pallas_ms = chain_sa(pallas_stage_a)
+            # recall of the kernel's approximate pool vs the exact one
+            d_x, i_x, _ = map(np.asarray, xla_stage_a(qv))
+            d_p, i_p, _ = map(np.asarray, pallas_stage_a(qv))
+            rec = np.mean([
+                len(set(i_x[b].tolist()) & set(i_p[b].tolist())) / pool
+                for b in range(batch)
+            ])
+            print(json.dumps({
+                "tail_metric": (f"fused stage-A (dense+top-pool+BM25 gather)"
+                                f" batch={batch}, N={n_docs} (compiled)"),
+                "pallas_kernel_ms": round(pallas_ms, 3),
+                "xla_ms": round(xla_ms, 3),
+                "speedup": round(xla_ms / pallas_ms, 2),
+                "pool_recall_vs_exact": round(float(rec), 4),
+            }))
+            del emb_k, valid_k, terms_k, bm25_k
 
     cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
 

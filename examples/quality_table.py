@@ -117,6 +117,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="evals_out")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
+    ap.add_argument("--dense-pool", default="exact",
+                    choices=["exact", "striped"],
+                    help="striped = 2-stage stripe-max pool "
+                         "(DENSE_POOL_MODE) — run both and diff the table "
+                         "to see the quality cost of the ~0.99-recall pool")
     args = ap.parse_args(argv)
 
     from review_recommender_tpu.engine.search import SearchEngine
@@ -148,7 +153,7 @@ def main(argv=None) -> int:
     print(f"index: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     engine = SearchEngine(
         bundle, query_encoder=encoder, cross_encoder=OverlapCrossScorer(),
-        gate_mode=args.gate_mode,
+        gate_mode=args.gate_mode, dense_pool=args.dense_pool,
     )
 
     def search(q, **cfg):

@@ -113,6 +113,14 @@ class Config:
     MESH_AXIS = os.getenv("MESH_AXIS", "shards")
     # Use Pallas kernels where available ("true") vs plain XLA ops.
     USE_PALLAS = _env_bool("USE_PALLAS", "true")
+    # Dense candidate-pool selection: "exact" (lax.top_k over the corpus
+    # axis — the oracle-parity default) or "striped" (two-stage stripe-max
+    # + top-k over stripe maxima, ops/dense.py:striped_topk — ~2x faster
+    # stage-A at N=200k; exact scores, ~0.99 pool recall at pool=150).
+    DENSE_POOL_MODE = os.getenv("DENSE_POOL_MODE", "exact")
+    # Stripe count for DENSE_POOL_MODE=striped. Pool recall loss is about
+    # pool^2 / (2 * stripes); corpora with n_padded <= stripes are exact.
+    DENSE_POOL_STRIPES = _env_int("DENSE_POOL_STRIPES", "8192")
     # Cross-request micro-batching (serve/api.py:MicroBatcher): concurrent
     # /search requests within the window coalesce into one batched device
     # program. Window ~2 ms trades a little latency for batched throughput.
@@ -145,6 +153,13 @@ class Config:
             raise ValueError(f"GATE_MODE must be 'device' or 'host', got {cls.GATE_MODE!r}")
         if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16", "int8"):
             raise ValueError(f"Unsupported EMB_DTYPE: {cls.EMB_DTYPE!r}")
+        if cls.DENSE_POOL_MODE not in ("exact", "striped"):
+            raise ValueError(
+                f"DENSE_POOL_MODE must be 'exact' or 'striped', "
+                f"got {cls.DENSE_POOL_MODE!r}"
+            )
+        if cls.DENSE_POOL_STRIPES <= 0:
+            raise ValueError("DENSE_POOL_STRIPES must be positive")
         if cls.is_production():
             if not cls.INDEX_DIR.exists():
                 raise FileNotFoundError(

@@ -134,6 +134,14 @@ class QueryFeaturizer:
             return hit
         if len(self._vocab_terms) == 0:
             return np.zeros(0, np.int32)
+        if self._native is not None and token.isascii():
+            # trigram-index probe in C++ (native/featurizer.cc) — already
+            # df-capped; cache and return directly
+            ids = self._native.expand_token(token)
+            if len(self._expand_cache) >= self._expand_cache_cap:
+                self._expand_cache.clear()
+            self._expand_cache[token] = ids
+            return ids
         if self._vocab_blob is not None:
             ids = self._scan_native(self._vocab_blob, token)
         else:

@@ -37,7 +37,7 @@ from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
 from review_recommender_tpu.index.schema import IndexBundle
 from review_recommender_tpu.ops.bm25 import bm25_candidate_scores
-from review_recommender_tpu.ops.dense import dense_topk
+
 from review_recommender_tpu.ops.fusion import (
     FusionWeights,
     final_topk,
@@ -104,6 +104,7 @@ class SearchEngine:
         query_encoder: Optional[Callable[[str], np.ndarray]] = None,
         cross_encoder: Optional[Callable[[str, List[str]], np.ndarray]] = None,
         gate_mode: Optional[str] = None,
+        dense_pool: Optional[str] = None,
     ):
         self.bundle = bundle
         self.products = bundle.products
@@ -112,6 +113,11 @@ class SearchEngine:
         self.int8_mode = raw_dtype == "int8"
         self.dtype = jnp.bfloat16 if self.int8_mode else _DTYPES[raw_dtype]
         self.gate_mode = gate_mode or config.GATE_MODE
+        # "exact" = lax.top_k over the corpus (oracle parity); "striped" =
+        # two-stage stripe-max pool (ops/dense.py:striped_topk, ~2x faster
+        # stage-A, exact scores, ~0.99 pool recall)
+        self.dense_pool = dense_pool or config.DENSE_POOL_MODE
+        self.dense_stripes = config.DENSE_POOL_STRIPES
         self.query_encoder = query_encoder
         self.cross_encoder = cross_encoder
 
@@ -162,13 +168,23 @@ class SearchEngine:
         )
 
     def _dense_topk(self, a, qvec, pool):
-        """f32/bf16 or int8-quantized dense pool, by what the arrays hold."""
+        """f32/bf16 or int8-quantized dense pool, by what the arrays hold;
+        pool selection per self.dense_pool (exact top_k | striped)."""
         if "emb_q" in a:
-            from review_recommender_tpu.ops.dense import dense_topk_int8
+            from review_recommender_tpu.ops.dense import dense_scores_int8
 
-            return dense_topk_int8(a["emb_q"], a["emb_scale"], qvec,
-                                   a["valid"], pool)
-        return dense_topk(a["emb"], qvec, a["valid"], pool)
+            sims = dense_scores_int8(a["emb_q"], a["emb_scale"], qvec,
+                                     a["valid"])
+        else:
+            from review_recommender_tpu.ops.dense import dense_scores
+
+            sims = dense_scores(a["emb"], qvec, a["valid"])
+        if self.dense_pool == "striped":
+            from review_recommender_tpu.ops.dense import striped_topk
+
+            return striped_topk(sims, pool, self.dense_stripes)
+        k = min(int(pool), sims.shape[-1])
+        return jax.lax.top_k(sims, k)
 
     # ------------------------------------------------------------------ jit A
     # NOTE: all jitted impls take the corpus arrays as ARGUMENTS rather than

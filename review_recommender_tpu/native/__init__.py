@@ -75,6 +75,11 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
         ndpointer(_np.float32, flags="C,W"),
     ]
+    lib.rrt_featurizer_expand.restype = ctypes.c_int64
+    lib.rrt_featurizer_expand.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ndpointer(_np.int32, flags="C,W"), ctypes.c_int64,
+    ]
     lib.rrt_featurize_batch.restype = ctypes.c_int64
     lib.rrt_featurize_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ndpointer(_np.int64, flags="C"),
@@ -269,9 +274,21 @@ class NativeQueryFeaturizer:
             query_terms_cap, gate_terms_cap,
         )
         self.packed_len = int(lib.rrt_featurizer_packed_len(self._h))
+        self.gate_terms_cap = int(gate_terms_cap)
         self._finalizer = weakref.finalize(
             self, lib.rrt_featurizer_destroy, self._h
         )
+
+    def expand_token(self, token: str):
+        """Trigram-index dynamic-gate expansion (<= gate_terms_cap int32
+        ids) — same semantics/order as the Python scan, ~50x faster cold."""
+        import numpy as np
+
+        out = np.empty(self.gate_terms_cap, np.int32)
+        raw = token.encode("ascii")
+        n = self._lib.rrt_featurizer_expand(self._h, raw, len(raw), out,
+                                            self.gate_terms_cap)
+        return out[: int(n)].copy()
 
     def featurize_packed(self, query: str):
         import numpy as np

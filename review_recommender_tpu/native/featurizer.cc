@@ -96,6 +96,46 @@ struct Featurizer {
   static constexpr int64_t kGroupsCap = 6;
   // dynamic-expansion cache
   std::unordered_map<std::string, std::vector<int32_t>> expand_cache;
+  // trigram inverted index over vocab terms: 3 packed bytes -> ascending
+  // term-id posting list. Turns expand_token from an O(vocab blob) scan
+  // (~0.25 ms at 30k terms) into a rarest-trigram candidate probe + verify
+  // (~a few us) — the cold-featurize host bottleneck at high QPS.
+  std::unordered_map<int32_t, std::vector<int32_t>> tri_index;
+  std::vector<std::pair<uint32_t, uint32_t>> term_span;  // (off, len) per id-1
+
+  static int32_t tri_key(const char* p) {
+    return (static_cast<int32_t>(static_cast<unsigned char>(p[0])) << 16) |
+           (static_cast<int32_t>(static_cast<unsigned char>(p[1])) << 8) |
+           static_cast<int32_t>(static_cast<unsigned char>(p[2]));
+  }
+
+  void build_tri_index() {
+    term_span.clear();
+    const char* base = vocab_blob.data();
+    const char* p = base;
+    const char* end = base + vocab_blob.size();
+    while (p < end) {
+      const char* nl = static_cast<const char*>(
+          std::memchr(p, '\n', static_cast<size_t>(end - p)));
+      const char* te = nl ? nl : end;
+      term_span.emplace_back(static_cast<uint32_t>(p - base),
+                             static_cast<uint32_t>(te - p));
+      p = te + 1;
+    }
+    std::vector<int32_t> seen;  // distinct trigram keys of current term
+    for (size_t t = 0; t < term_span.size(); ++t) {
+      const char* s = base + term_span[t].first;
+      const int64_t len = term_span[t].second;
+      seen.clear();
+      for (int64_t i = 0; i + 3 <= len; ++i) {
+        const int32_t k = tri_key(s + i);
+        if (std::find(seen.begin(), seen.end(), k) == seen.end()) {
+          seen.push_back(k);
+          tri_index[k].push_back(static_cast<int32_t>(t) + 1);
+        }
+      }
+    }
+  }
 
   int64_t n_phrases() const { return static_cast<int64_t>(phrases.size()); }
   int64_t packed_len() const {
@@ -132,31 +172,62 @@ struct Featurizer {
 
   // engine/featurize.py:_expand_token — vocab ids containing `token` as a
   // substring; stable df-desc order applied only when over the cap.
+  static bool contains_n(const char* hay, int64_t hlen, const char* needle,
+                         int64_t nlen) {
+    if (hlen < nlen) return false;
+    const char first = needle[0];
+    const char* limit = hay + hlen - nlen;
+    for (const char* q = hay; q <= limit; ++q) {
+      if (*q == first &&
+          std::memcmp(q, needle, static_cast<size_t>(nlen)) == 0)
+        return true;
+    }
+    return false;
+  }
+
   const std::vector<int32_t>& expand_token(const std::string& token) {
     auto it = expand_cache.find(token);
     if (it != expand_cache.end()) return it->second;
     std::vector<int32_t> ids;
-    const char* p = vocab_blob.data();
-    const char* end = p + vocab_blob.size();
-    int32_t term_id = 1;
     const int64_t nlen = static_cast<int64_t>(token.size());
-    while (p < end && nlen > 0) {
-      const char* nl = static_cast<const char*>(
-          std::memchr(p, '\n', static_cast<size_t>(end - p)));
-      const char* te = nl ? nl : end;
-      const int64_t tlen = te - p;
-      if (tlen >= nlen) {
-        const char* limit = te - nlen;
-        for (const char* q = p; q <= limit; ++q) {
-          if (*q == token[0] &&
-              std::memcmp(q, token.data(), static_cast<size_t>(nlen)) == 0) {
-            ids.push_back(term_id);
-            break;
-          }
+    if (nlen >= 3 && !term_span.empty()) {
+      // rarest-trigram probe: any term containing `token` contains every
+      // trigram of `token`, so the shortest posting list bounds the
+      // candidates; verify each by exact substring. Posting lists are
+      // id-ascending, so ids comes out in the same (scan) order.
+      const std::vector<int32_t>* best = nullptr;
+      bool impossible = false;
+      for (int64_t i = 0; i + 3 <= nlen; ++i) {
+        auto ti = tri_index.find(tri_key(token.data() + i));
+        if (ti == tri_index.end()) {
+          impossible = true;
+          break;
+        }
+        if (best == nullptr || ti->second.size() < best->size())
+          best = &ti->second;
+      }
+      if (!impossible && best != nullptr) {
+        const char* base = vocab_blob.data();
+        for (int32_t id : *best) {
+          const auto& span = term_span[static_cast<size_t>(id - 1)];
+          if (contains_n(base + span.first, span.second, token.data(), nlen))
+            ids.push_back(id);
         }
       }
-      ++term_id;
-      p = te + 1;
+    } else if (nlen > 0) {
+      // tokens shorter than a trigram: linear scan (rare — dynamic gate
+      // tokens are >= 4 chars; only unusual synonym members land here)
+      const char* p = vocab_blob.data();
+      const char* end = p + vocab_blob.size();
+      int32_t term_id = 1;
+      while (p < end) {
+        const char* nl = static_cast<const char*>(
+            std::memchr(p, '\n', static_cast<size_t>(end - p)));
+        const char* te = nl ? nl : end;
+        if (contains_n(p, te - p, token.data(), nlen)) ids.push_back(term_id);
+        ++term_id;
+        p = te + 1;
+      }
     }
     if (static_cast<int64_t>(ids.size()) > t_cap) {
       std::stable_sort(ids.begin(), ids.end(), [&](int32_t a, int32_t b) {
@@ -276,6 +347,7 @@ void* rrt_featurizer_create(
     int32_t id = 1;
     for (auto& t : terms) f->vocab.emplace(std::move(t), id++);
   }
+  f->build_tri_index();
   f->df.assign(df, df + v_plus_1);
   f->idf.assign(idf, idf + v_plus_1);
   f->phrases = split(phrases_blob, phrases_len, '\n');
@@ -311,6 +383,19 @@ int64_t rrt_featurizer_packed_len(void* h) {
 // out must hold packed_len() floats. Returns packed_len.
 int64_t rrt_featurize(void* h, const char* query, int64_t qlen, float* out) {
   return static_cast<Featurizer*>(h)->featurize(query, qlen, out);
+}
+
+// Dynamic-gate token expansion via the trigram index (Python featurize
+// path reuses it instead of the linear blob scan). out must hold at least
+// t_cap int32s; returns the id count (always <= t_cap).
+int64_t rrt_featurizer_expand(void* h, const char* token, int64_t tlen,
+                              int32_t* out, int64_t cap) {
+  auto* f = static_cast<Featurizer*>(h);
+  const std::vector<int32_t>& ids =
+      f->expand_token(std::string(token, static_cast<size_t>(tlen)));
+  const int64_t n = std::min<int64_t>(static_cast<int64_t>(ids.size()), cap);
+  std::memcpy(out, ids.data(), static_cast<size_t>(n) * sizeof(int32_t));
+  return n;
 }
 
 // Batch: queries concatenated, offsets has n+1 entries; out holds

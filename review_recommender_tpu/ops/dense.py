@@ -43,6 +43,39 @@ def dense_topk(
     return scores, idx
 
 
+def striped_topk(
+    sims: jax.Array, pool: int, stripes: int = 8192
+) -> tuple[jax.Array, jax.Array]:
+    """Two-stage top-`pool` over the last axis: per-stripe max+argmax, then
+    an exact top-k over the stripe maxima.
+
+    `lax.top_k` over the full corpus axis costs ~2.3 ms per 32-query batch
+    at N=200k on v5e (a bitonic sort over 200k lanes); the stripe reduction
+    replaces it with a (G, S) max — measured ~0.2 ms — plus a top-k over
+    only G stripe maxima. Returned SCORES ARE EXACT; only pool MEMBERSHIP
+    is approximate: a true top-pool row is lost iff another pool row lands
+    in its stripe, so expected recall ≈ 1 - pool²/(2G) (~0.99 at pool=150,
+    G=8192; measured 0.9875 at N=200k). For n <= stripes the stripe size
+    is 1 and the result is EXACT. Callers gate this behind
+    DENSE_POOL_MODE=striped (config.py) — the default engine path stays
+    exact for oracle parity.
+    """
+    n = sims.shape[-1]
+    g = min(int(stripes), n)
+    s = -(-n // g)  # ceil div: rows per stripe
+    padded = g * s
+    if padded != n:
+        pad = [(0, 0)] * (sims.ndim - 1) + [(0, padded - n)]
+        sims = jnp.pad(sims, pad, constant_values=-jnp.inf)
+    x = sims.reshape(*sims.shape[:-1], g, s)
+    smax = jnp.max(x, axis=-1)
+    sarg = jnp.argmax(x, axis=-1).astype(jnp.int32)
+    kk = min(int(pool), g)
+    top, gi = jax.lax.top_k(smax, kk)
+    idx = gi * s + jnp.take_along_axis(sarg, gi, axis=-1)
+    return top, idx
+
+
 def quantize_corpus_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric per-row int8 quantization of an L2-normalized corpus matrix.
 

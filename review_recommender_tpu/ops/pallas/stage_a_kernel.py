@@ -24,6 +24,17 @@ per-lane scalar extracts with the same constraint. The gather belongs in
 XLA, where a 150-row take is free. (Interpret-mode worked; compiled did
 not — kept here as documentation so the next round doesn't re-walk it.)
 
+MEASURED RESULT (compiled, v5e via tunnel, N=200k, batch=32, pool=150,
+bench.py BENCH_STAGEA, two runs): kernel 11.5 vs XLA 10.3 ms (0.9x) and
+8.2 vs 8.9 ms (1.09x) — parity within box noise; the M=16 rounds of
+(max, argmax, mask) over each resident (2048, 32) tile are VPU-serial and
+give back roughly what skipping lax.top_k saves. The clear winner is pure
+XLA: ops/dense.py:striped_topk (stripe-max + top-k over stripe maxima)
+cuts the whole fused-query program from 4.5 ms to 2.5 ms per 32-query
+batch (chained-program measurement) with no Pallas at all — that is the
+production path (DENSE_POOL_MODE=striped). This kernel is kept as measured
+evidence and a baseline for future Mosaic work.
+
 APPROXIMATION CONTRACT: the global top-pool is exact only if no single tile
 contains more than M of the true top-pool rows. For pool=150 over randomly
 distributed scores and M=16 x 98 tiles, recall vs exact top-k is >0.999 in
@@ -81,7 +92,7 @@ def stage_a_fused_pallas(
     doc_terms: jax.Array,  # (N, L) i32
     doc_bm25: jax.Array,   # (N, L) f32 eager contributions
     qvecs: jax.Array,    # (B, D) f32
-    q_terms: jax.Array,  # (Q,) i32
+    q_terms: jax.Array,  # (Q,) i32 shared, or (B, Q) per-query term ids
     pool: int,
     interpret: bool = False,
 ):
@@ -136,7 +147,9 @@ def stage_a_fused_pallas(
 
     cand_terms = jnp.take(doc_terms, idx, axis=0)   # (B, pool, L)
     cand_bm25 = jnp.take(doc_bm25, idx, axis=0)
-    match = cand_terms[:, :, :, None] == q_terms[None, None, None, :]
+    if q_terms.ndim == 1:
+        q_terms = jnp.broadcast_to(q_terms[None, :], (b, q_terms.shape[0]))
+    match = cand_terms[:, :, :, None] == q_terms[:, None, None, :]
     bm25 = jnp.sum(jnp.where(match, cand_bm25[:, :, :, None], 0.0),
                    axis=(2, 3))
     return dense, idx, bm25

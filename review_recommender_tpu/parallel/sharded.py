@@ -73,6 +73,7 @@ class ShardedSearchEngine:
         n_shards: Optional[int] = None,
         emb_dtype: Optional[str] = None,
         axis: Optional[str] = None,
+        dense_pool: Optional[str] = None,
     ):
         self.bundle = bundle
         self.products: ProductIndex = bundle.products
@@ -80,6 +81,8 @@ class ShardedSearchEngine:
         self.axis = axis or config.MESH_AXIS
         raw_dtype = emb_dtype or config.EMB_DTYPE
         self.int8_mode = raw_dtype == "int8"
+        self.dense_pool = dense_pool or config.DENSE_POOL_MODE
+        self.dense_stripes = config.DENSE_POOL_STRIPES
         dtype = _DTYPES[raw_dtype]
 
         if mesh is None:
@@ -189,6 +192,17 @@ class ShardedSearchEngine:
                                      a["valid"])
         return dense_scores(a["emb"], qvec, a["valid"])
 
+    def _local_topk(self, sims, k):
+        """Per-shard pool selection honoring DENSE_POOL_MODE (the stripe
+        count divides by the shard count so the collision rate matches the
+        single-chip engine's)."""
+        if self.dense_pool == "striped":
+            from review_recommender_tpu.ops.dense import striped_topk
+
+            return striped_topk(
+                sims, k, max(1, self.dense_stripes // self.n_shards))
+        return jax.lax.top_k(sims, k)
+
     def _pool_and_assemble(self, a, qvec, pool):
         """Shared SPMD front half: local dense top-pool, allgather merge,
         and an `assemble` closure that replicates any per-candidate feature
@@ -199,7 +213,7 @@ class ShardedSearchEngine:
 
         sims = self._local_dense_scores(a, qvec)
         p_local = min(pool, local_n)
-        l_scores, l_idx = jax.lax.top_k(sims, p_local)
+        l_scores, l_idx = self._local_topk(sims, p_local)
         g_idx = l_idx + offset
 
         # allgather the tiny (scores, ids) pairs over ICI; identical merge
@@ -450,7 +464,7 @@ class ShardedSearchEngine:
         offset = jax.lax.axis_index(ax) * local_n
         sims = self._local_dense_scores(a, qvec)
         kl = min(k, local_n)
-        s, i = jax.lax.top_k(sims, kl)
+        s, i = self._local_topk(sims, kl)
         all_s = jax.lax.all_gather(s, ax).reshape(-1)
         all_i = jax.lax.all_gather(i + offset, ax).reshape(-1)
         ke = min(k, all_s.shape[0])

@@ -27,6 +27,9 @@ Endpoints:
                           requests, which coalesce via the micro-batcher
                           and support every knob) and one shared weight set
                           per request. Results carry sku + final score.
+  POST /debug/trace       {"query": "...", "n": 8, "host_profile": false}
+                          -> runs n warm queries under a jax.profiler
+                          device trace; returns the trace dir + timings
 
 Search parameters accept exactly the run_search surface
 (app/app_product_search.py:245-248 parity).
@@ -424,6 +427,35 @@ class SearchService:
             "per_query": metrics.rows,
         }
 
+    def trace(self, payload: dict) -> dict:
+        """POST /debug/trace: capture a jax.profiler device trace around n
+        warm serving queries and return the trace directory (open it with
+        TensorBoard / xprof). ROADMAP round-1 item #7."""
+        from pathlib import Path
+
+        from review_recommender_tpu.utils.profiling import device_trace
+
+        query = str(payload.get("query",
+                                "wireless noise cancelling headphones"))
+        n = max(1, min(int(payload.get("n", 8)), 64))
+        log_dir = str(
+            payload.get("log_dir")
+            or Path(config.LOG_FILE).parent / "traces"
+            / time.strftime("%Y%m%d-%H%M%S")
+        )
+        req = {k: payload[k] for k in SEARCH_KNOBS if k in payload}
+        req["query"] = query
+        self.search(req)  # warm outside the trace window
+        t0 = time.perf_counter()
+        with device_trace(log_dir,
+                          host_profile=bool(payload.get("host_profile"))):
+            for _ in range(n):
+                out = self.search(req)
+        took = (time.perf_counter() - t0) * 1e3
+        return {"log_dir": log_dir, "n": n, "total_ms": round(took, 3),
+                "ms_per_query": round(took / n, 3),
+                "stage_ms": out.get("debug", {}).get("stage_ms", {})}
+
     def info(self) -> dict:
         p = self.engine.products
         return {
@@ -480,7 +512,7 @@ def make_handler(service: SearchService):
                 self._send(404, {"error": "not found"})
 
         ROUTES = {"/search": "search", "/eval": "evaluate",
-                  "/search_batch": "search_batch"}
+                  "/search_batch": "search_batch", "/debug/trace": "trace"}
 
         def do_POST(self):  # noqa: N802
             handler_name = self.ROUTES.get(self.path)

@@ -75,10 +75,38 @@ class TestSubstringScan:
         assert f_nat._vocab_blob is not None
         f_py = QueryFeaturizer(b.products)
         f_py._vocab_blob = None  # force numpy path
+        f_py._native = None
         for q in ["yellow cat socks", "wireless bluetooth headphones"]:
             np.testing.assert_array_equal(
                 f_nat.featurize(q).pack(), f_py.featurize(q).pack()
             )
+
+    def test_trigram_expand_parity(self):
+        """Native trigram-index expand_token == the numpy substring scan,
+        including mid-term matches, no-match tokens, short (<3) tokens and
+        the df-desc cap ordering."""
+        from review_recommender_tpu.native import NativeQueryFeaturizer
+
+        rng = np.random.default_rng(4)
+        base = ["sock", "socks", "tubesocks", "wiresocket", "wireless",
+                "blue", "blues", "bluetooth", "ultrablue", "cat"]
+        terms = base + [f"w{i}rd{i}x" for i in range(500)]
+        blob = ("\n".join(terms) + "\n").encode()
+        arr = np.array(terms, dtype=np.str_)
+        df = np.concatenate([[0], rng.integers(1, 100, len(terms))]).astype(
+            np.int32)
+        idf = np.log1p(1.0 / np.maximum(df, 1)).astype(np.float32)
+        cap = 8
+        nat = NativeQueryFeaturizer(blob, df, idf, 32, cap)
+        for tok in ["sock", "blue", "socket", "zzzz", "at", "x", "rd1",
+                    "wireless", "q"]:
+            hits = (np.char.find(arr, tok) >= 0).nonzero()[0] + 1
+            if len(hits) > cap:
+                order = np.argsort(-df[hits], kind="stable")[:cap]
+                hits = hits[order]
+            got = nat.expand_token(tok)
+            np.testing.assert_array_equal(got, hits.astype(np.int32),
+                                          err_msg=f"token={tok!r}")
 
 
 class TestPostingsBuild:

@@ -96,6 +96,16 @@ class TestHTTP:
         assert body["stats"]["requests"] >= 1
         assert "latency" in body
 
+    def test_debug_trace(self, server, tmp_path):
+        code, body = _post(server + "/debug/trace", {
+            "query": "wireless headphones", "n": 2,
+            "log_dir": str(tmp_path / "trace"),
+        })
+        assert code == 200
+        assert body["n"] == 2
+        assert body["ms_per_query"] > 0
+        assert body["log_dir"].endswith("trace")
+
     def test_ui_page(self, server):
         import urllib.request
 

@@ -49,6 +49,26 @@ def test_winner_scores_ids_and_bm25_exact(data):
             assert abs(bm[b, j] - want) < 1e-4
 
 
+def test_per_query_term_sets(data):
+    """(B, Q) q_terms: each query's BM25 gather uses its own term set."""
+    emb, valid, terms, bm25v, qvecs, _ = data
+    rng = np.random.default_rng(7)
+    B = qvecs.shape[0]
+    qt = rng.integers(1, 500, (B, 8)).astype(np.int32)
+    pool = 12
+    _dense, idx, bm = stage_a_fused_pallas(
+        jnp.asarray(emb), jnp.asarray(valid), jnp.asarray(terms),
+        jnp.asarray(bm25v), jnp.asarray(qvecs), jnp.asarray(qt),
+        pool=pool, interpret=True,
+    )
+    idx, bm = np.asarray(idx), np.asarray(bm)
+    for b in range(B):
+        for j in range(pool):
+            row = idx[b, j]
+            want = bm25v[row][np.isin(terms[row], qt[b])].sum()
+            assert abs(bm[b, j] - want) < 1e-4
+
+
 def test_recall_vs_exact_topk(data):
     """Approximation contract: with pool <= M_PER_TILE * n_tiles the recall
     against the exact top-pool is high; at pool <= M_PER_TILE it is exact

@@ -1,0 +1,138 @@
+"""Striped dense-pool mode (ops/dense.py:striped_topk + DENSE_POOL_MODE):
+exact scores, stripe-level pool membership, exactness when n <= stripes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from review_recommender_tpu.engine.search import SearchEngine
+from review_recommender_tpu.index.build import build_bundle_from_products
+from review_recommender_tpu.ops.dense import striped_topk
+from review_recommender_tpu.ops.fusion import FusionWeights
+from tests.test_engine_parity import make_corpus
+
+
+def test_exact_when_stripes_ge_n():
+    rng = np.random.default_rng(0)
+    sims = jnp.asarray(rng.standard_normal(100).astype(np.float32))
+    top, idx = striped_topk(sims, pool=10, stripes=128)
+    want_s, want_i = jax.lax.top_k(sims, 10)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(top), np.asarray(want_s))
+
+
+def test_scores_exact_and_recall_high():
+    rng = np.random.default_rng(1)
+    n, pool = 4096, 32
+    sims_h = rng.standard_normal(n).astype(np.float32)
+    top, idx = map(np.asarray, striped_topk(jnp.asarray(sims_h), pool,
+                                            stripes=512))
+    # every returned (idx, score) pair is exact
+    np.testing.assert_allclose(top, sims_h[idx], rtol=1e-6)
+    # descending order
+    assert np.all(np.diff(top) <= 1e-6)
+    # recall vs exact pool: expected ~1 - pool^2/(2*512) ~ 0.999
+    exact = set(np.argsort(-sims_h)[:pool].tolist())
+    assert len(exact & set(idx.tolist())) / pool >= 0.9
+
+
+def test_handles_non_divisible_n():
+    rng = np.random.default_rng(2)
+    sims_h = rng.standard_normal(1000).astype(np.float32)  # 1000 % 128 != 0
+    top, idx = map(np.asarray, striped_topk(jnp.asarray(sims_h), 16,
+                                            stripes=128))
+    assert idx.max() < 1000
+    np.testing.assert_allclose(top, sims_h[idx], rtol=1e-6)
+
+
+def test_batched_under_vmap():
+    rng = np.random.default_rng(3)
+    sims_h = rng.standard_normal((4, 512)).astype(np.float32)
+    f = jax.vmap(lambda s: striped_topk(s, 8, stripes=64))
+    top, idx = map(np.asarray, f(jnp.asarray(sims_h)))
+    assert top.shape == (4, 8) and idx.shape == (4, 8)
+    for b in range(4):
+        np.testing.assert_allclose(top[b], sims_h[b][idx[b]], rtol=1e-6)
+
+
+def test_engine_striped_mode_small_corpus_matches_exact():
+    """On a corpus smaller than the stripe count the striped engine is
+    bit-identical to the exact engine (stripe size 1)."""
+    products, emb, _r, _re = make_corpus(n=48, dim=32, seed=21)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=64)
+    exact = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    striped = SearchEngine(bundle, emb_dtype="float32", gate_mode="device",
+                           dense_pool="striped")
+    assert striped.dense_pool == "striped"
+    rng = np.random.default_rng(5)
+    w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_prior=0.2)
+    for q in ["yellow cat socks", "wireless headphones"]:
+        qv = rng.standard_normal(32).astype(np.float32)
+        r1, s1 = exact.query_fused(qv, q, w, pool=32, k=8)
+        r2, s2 = striped.query_fused(qv, q, w, pool=32, k=8)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+
+
+def test_engine_striped_mode_large_pool_recall():
+    """With stripes < n the pool is approximate but top results with clear
+    margins survive."""
+    from review_recommender_tpu import config as cfg_mod
+
+    products, emb, _r, _re = make_corpus(n=256, dim=32, seed=22)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=64)
+    old = cfg_mod.config.DENSE_POOL_STRIPES
+    cfg_mod.config.DENSE_POOL_STRIPES = 64
+    try:
+        exact = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+        striped = SearchEngine(bundle, emb_dtype="float32",
+                               gate_mode="device", dense_pool="striped")
+        rng = np.random.default_rng(9)
+        w = FusionWeights.make(w_dense=1.0, w_bm25=0.0, w_prior=0.0,
+                               min_reviews=0)
+        hits = tot = 0
+        for q in ["socks", "headphones", "knife", "shoes"]:
+            qv = rng.standard_normal(32).astype(np.float32)
+            r1, _ = exact.query_fused(qv, q, w, pool=32, k=8)
+            r2, _ = striped.query_fused(qv, q, w, pool=32, k=8)
+            hits += len(set(np.asarray(r1).tolist())
+                        & set(np.asarray(r2).tolist()))
+            tot += 8
+        assert hits / tot >= 0.75
+    finally:
+        cfg_mod.config.DENSE_POOL_STRIPES = old
+
+
+def test_sharded_striped_matches_exact_small_corpus():
+    """With per-shard stripe count >= local rows the sharded striped path is
+    bit-identical to the exact sharded path (stripe size 1)."""
+    from review_recommender_tpu.parallel.sharded import ShardedSearchEngine
+
+    products, emb, _r, _re = make_corpus(n=96, dim=64, seed=4)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=64)
+    exact = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+    striped = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32",
+                                  dense_pool="striped")
+    rng = np.random.default_rng(11)
+    w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_prior=0.2,
+                           min_reviews=5, gate_penalty=0.3)
+    for q in ["yellow cat socks", "wireless bluetooth headphones"]:
+        qv = rng.standard_normal(64).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        r1, s1 = exact.query_fused(qv, q, w, pool=48, k=10)
+        r2, s2 = striped.query_fused(qv, q, w, pool=48, k=10)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_config_validates_mode(monkeypatch):
+    from review_recommender_tpu.config import Config
+
+    monkeypatch.setattr(Config, "DENSE_POOL_MODE", "bogus")
+    with pytest.raises(ValueError, match="DENSE_POOL_MODE"):
+        Config.validate()
