@@ -151,8 +151,12 @@ def main(argv=None) -> int:
         products, emb, doc_terms_cap=128, pad_multiple=256,
     )
     print(f"index: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # idf-weighted overlap rerank: weights from the index vocabulary
+    idf_map = {t: float(bundle.products.idf[i])
+               for t, i in bundle.products.vocab.items()}
     engine = SearchEngine(
-        bundle, query_encoder=encoder, cross_encoder=OverlapCrossScorer(),
+        bundle, query_encoder=encoder,
+        cross_encoder=OverlapCrossScorer(idf=idf_map),
         gate_mode=args.gate_mode, dense_pool=args.dense_pool,
     )
 

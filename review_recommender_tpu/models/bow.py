@@ -55,12 +55,35 @@ class BowProjectionEncoder:
 
 
 class OverlapCrossScorer:
-    """(query, doc) relevance by token-level F1 overlap — a deterministic
-    cross-encoder stand-in with the right signature."""
+    """(query, doc) relevance by idf-weighted query-term coverage — a
+    deterministic cross-encoder stand-in with the right signature.
 
-    def __init__(self, tokenizer=None, doc_prefix_chars: int = 2000):
+    score = sum(w(t) for t in q ∩ d) / sum(w(t) for t in q), with w(t)
+    the supplied idf weight (1.0 when none given). Rare query terms — the
+    discriminative ones — dominate, which is the classic weighted-overlap
+    relevance heuristic; a plain F1 variant (round-1 behavior) penalized
+    long relevant documents through its precision term and made the rerank
+    lane NOISIER than hybrid fusion alone in the quality table."""
+
+    def __init__(self, tokenizer=None, doc_prefix_chars: int = 2000,
+                 idf=None):
         self.tokenizer = tokenizer or HashTokenizer()
         self.doc_prefix_chars = doc_prefix_chars
+        #: optional token -> weight mapping (e.g. the index vocab idf)
+        self.idf = dict(idf) if idf else None
+
+    def _w(self, token: str) -> float:
+        if self.idf is None:
+            return 1.0
+        return float(self.idf.get(token, self._default_w))
+
+    @property
+    def _default_w(self) -> float:
+        # unseen tokens get the median known weight (neutral, not dominant)
+        if not hasattr(self, "_default_cache"):
+            vals = sorted(self.idf.values()) if self.idf else [1.0]
+            self._default_cache = float(vals[len(vals) // 2])
+        return self._default_cache
 
     def score_pairs(self, queries: Sequence[str], docs: Sequence[str]) -> np.ndarray:
         out = np.zeros(len(docs), np.float32)
@@ -69,10 +92,9 @@ class OverlapCrossScorer:
             ds = set(self.tokenizer.tokenize(str(d)[: self.doc_prefix_chars]))
             if not qs or not ds:
                 continue
-            inter = len(qs & ds)
-            if inter:
-                p, r = inter / len(ds), inter / len(qs)
-                out[i] = 2 * p * r / (p + r)
+            denom = sum(self._w(t) for t in qs)
+            if denom > 0:
+                out[i] = sum(self._w(t) for t in qs & ds) / denom
         return out
 
     def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
