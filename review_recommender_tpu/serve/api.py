@@ -106,6 +106,27 @@ class MicroBatcher:
             self._closed = True
             self._cv.notify_all()
 
+    def warmup_buckets(self, k: int, pool: int, dim: int,
+                       use_snips: bool = False) -> None:
+        """Pre-compile the coalesced program for EVERY bucket size up to
+        max_batch (each padded batch size is a distinct XLA program). A
+        cold bucket compiling on the first concurrent burst stalls every
+        rider for seconds — measured 35 q/s with timeouts vs hundreds
+        warm on the live-HTTP bench."""
+        from review_recommender_tpu.utils.numerics import device_fetch
+
+        qvec = np.zeros(dim, np.float32)
+        qvec[0] = 1.0
+        weights = (0.5, 0.2, 0.0, 0.2, 0.1, 20.0, 0.0, 0.5)
+        for b in self.BUCKETS:
+            if b > self.max_batch:
+                break
+            out = self.engine.query_fused_batched_pw(
+                np.stack([qvec] * b), ["warmup query"] * b, [weights] * b,
+                pool, k, use_snips=use_snips,
+            )
+            device_fetch(*out)
+
     def search(self, query: str, qvec, weights, k: int, pool: int,
                use_snips: bool, timeout: float = 30.0) -> dict:
         req = _Pending(query, qvec, weights, k, pool, use_snips)
@@ -310,11 +331,18 @@ class SearchService:
         for k in ks:
             self.engine.run_search("warmup query", qvec=qvec, k=k, rerank_k=0)
         if self.batcher is not None:
-            # compile the coalesced program for the small buckets; larger
-            # buckets compile on first burst
-            for _ in range(2):
-                self.search({"query": "warmup query", "qvec": qvec.tolist(),
-                             "rerank_k": 0})
+            # compile the coalesced program for EVERY bucket size at the
+            # default k (the pool is k/rerank_k-independent below
+            # DEFAULT_POOL_SIZE, so this covers the common request shape);
+            # other k values compile on their first coalesced use
+            pool = min(max(int(self.engine_default_k()),
+                           config.DEFAULT_RERANK_K,
+                           config.DEFAULT_POOL_SIZE),
+                       self.engine.products.n_padded)
+            self.batcher.warmup_buckets(int(self.engine_default_k()), pool,
+                                        dim)
+            self.search({"query": "warmup query", "qvec": qvec.tolist(),
+                         "rerank_k": 0})
         self.ready = True
 
     def engine_default_k(self) -> int:
@@ -552,7 +580,15 @@ def serve(engine, host: Optional[str] = None, port: Optional[int] = None,
     programs.
     """
     service = SearchService(engine)
-    srv = ThreadingHTTPServer(
+
+    class _Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5 — a concurrent client burst
+        # overflows it and the kernel RSTs connections (measured as
+        # ConnectionResetError under 32 closed-loop clients)
+        request_queue_size = 128
+        daemon_threads = True
+
+    srv = _Server(
         (host or config.APP_HOST, port or config.APP_PORT),
         make_handler(service),
     )
