@@ -109,6 +109,136 @@ def build_corpus(n_themes: int, per_theme: int, n_queries: int,
     return products, queries
 
 
+def build_trained_towers(products, queries, *, seed: int = 0,
+                         n_pairs: int = 8192, log=print):
+    """Train BOTH query towers from scratch on the corpus itself — the
+    in-repo answer to 'no pretrained weights can be downloaded here'.
+
+    Self-supervised recipe (the same weak supervision train/data.py mines
+    from real review corpora): query = 5 keywords sampled from a document,
+    positive = that document; the bi-encoder trains with in-batch-negative
+    InfoNCE (train/contrastive.py) and the cross-encoder with pointwise BCE
+    over same-theme hard negatives (train/cross_encoder.py) — same-theme
+    docs share the query's word bank, so they are exactly the confusables
+    the rerank stage must learn to reject.
+
+    Honesty: every document belonging to an eval anchor family
+    (queries[*].relevant_skus) is EXCLUDED from pair mining, so the towers
+    never see an eval-relevant document paired with anything at train time.
+    """
+    from collections import defaultdict
+
+    from review_recommender_tpu.models.bert import (
+        BertConfig,
+        init_biencoder,
+        init_crossencoder,
+    )
+    from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+    from review_recommender_tpu.models.tokenizer import HashTokenizer
+    from review_recommender_tpu.train import (
+        ContrastiveTrainer,
+        CrossEncoderTrainer,
+        CrossTrainConfig,
+        TrainConfig,
+        mine_triples,
+        train_biencoder,
+        train_crossencoder,
+    )
+
+    fam: set = set()
+    for q in queries:
+        fam.update(q["relevant_skus"])
+    train_docs = [p for p in products if p["sku"] not in fam]
+
+    rng = np.random.default_rng(seed + 101)
+    sample = rng.choice(len(train_docs),
+                        size=min(n_pairs, len(train_docs)), replace=False)
+    pairs, theme_of = [], {}
+    for i in sample:
+        p = train_docs[int(i)]
+        toks = sorted({t for t in p["agg_text"].split() if len(t) >= 4})
+        if len(toks) < 5:
+            continue
+        pick = rng.choice(len(toks), size=5, replace=False)
+        q = " ".join(toks[j] for j in sorted(pick))
+        pairs.append((q, p["agg_text"]))
+        theme_of[q] = int(p["sku"][1:4])
+    # theme-sort + block batching: every in-batch negative shares the
+    # positive's theme word bank, so InfoNCE must learn WHICH same-theme
+    # doc the keywords came from (doc-level, not topic-level, matching) —
+    # globally shuffled batches plateau at topic-level and lose to BoW
+    pairs.sort(key=lambda qd: theme_of[qd[0]])
+
+    tok = HashTokenizer(vocab_size=8192)
+    batch, bi_epochs = 64, 6
+
+    # --- bi-encoder: 2-layer 256-wide tower, InfoNCE over the MXU
+    t0 = time.perf_counter()
+    cfg_bi = BertConfig(vocab_size=8192, hidden_size=256, num_layers=2,
+                        num_heads=4, intermediate_size=512, max_position=96)
+    _, params_bi = init_biencoder(cfg_bi, seed=seed)
+    steps = (len(pairs) // batch) * bi_epochs
+    tr_bi = ContrastiveTrainer(
+        cfg_bi, params_bi,
+        train_cfg=TrainConfig(learning_rate=1e-3, seed=seed,
+                              total_steps=steps),
+    )
+    hist = train_biencoder(tr_bi, pairs, tok, batch_size=batch,
+                           epochs=bi_epochs, max_len=96, seed=seed,
+                           batch_order_only=True)
+    log(f"bi-encoder: {len(pairs)} pairs, {len(hist)} steps, "
+        f"final loss {hist[-1]['loss']:.3f} "
+        f"in-batch acc {hist[-1]['in_batch_acc']:.3f} "
+        f"({time.perf_counter() - t0:.1f}s)")
+    bi = BiEncoder(cfg_bi, tr_bi.params, tok, max_len=96)
+
+    # --- cross-encoder: 2-layer 128-wide pair scorer, 2 same-theme hard
+    # negatives + 1 random negative per positive
+    t0 = time.perf_counter()
+    by_theme = defaultdict(list)
+    for p in train_docs:
+        by_theme[int(p["sku"][1:4])].append(p["agg_text"])
+    neg_rng = np.random.default_rng(seed + 202)
+
+    def same_theme_negatives(query, k):
+        docs = by_theme[theme_of[query]]
+        n = min(2, k, len(docs))  # cap at 2: the 3rd slot fills randomly
+        idx = neg_rng.choice(len(docs), size=n, replace=False)
+        return [docs[int(j)] for j in idx]
+
+    triples = mine_triples(pairs, [p["agg_text"] for p in train_docs],
+                           n_negatives=3,
+                           hard_negative_fn=same_theme_negatives,
+                           seed=seed + 303)
+    # same trunk dims as the bi-encoder so its trained encoder grafts in —
+    # from a random trunk the BCE head collapses to the label base rate
+    # (see train/cross_encoder.py:warm_start_from_biencoder)
+    from review_recommender_tpu.train.cross_encoder import (
+        warm_start_from_biencoder,
+    )
+
+    cfg_xe = BertConfig(vocab_size=8192, hidden_size=256, num_layers=2,
+                        num_heads=4, intermediate_size=512, max_position=128)
+    _, params_xe = init_crossencoder(cfg_xe, seed=seed)
+    params_xe = warm_start_from_biencoder(params_xe, tr_bi.params)
+    xe_epochs = 4
+    steps = (len(triples) // batch) * xe_epochs
+    tr_xe = CrossEncoderTrainer(
+        cfg_xe, params_xe,
+        train_cfg=CrossTrainConfig(learning_rate=3e-4, seed=seed,
+                                   total_steps=steps),
+    )
+    hist = train_crossencoder(tr_xe, triples, tok, batch_size=batch,
+                              epochs=xe_epochs, max_len=128, seed=seed)
+    recent = hist[-50:]
+    log(f"cross-encoder: {len(triples)} triples, {len(hist)} steps, "
+        f"final-50 loss {np.mean([m['loss'] for m in recent]):.3f} "
+        f"acc {np.mean([m['acc'] for m in recent]):.3f} "
+        f"(base rate 0.75) ({time.perf_counter() - t0:.1f}s)")
+    xe = CrossEncoder(cfg_xe, tr_xe.params, tok, max_len=128)
+    return bi, xe
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--themes", type=int, default=80)
@@ -122,6 +252,11 @@ def main(argv=None) -> int:
                     help="striped = 2-stage stripe-max pool "
                          "(DENSE_POOL_MODE) — run both and diff the table "
                          "to see the quality cost of the ~0.99-recall pool")
+    ap.add_argument("--trained", action="store_true",
+                    help="train tiny bi-/cross-encoder towers on the corpus "
+                         "(eval families held out) instead of the BoW/"
+                         "overlap stand-ins — the full train->index->serve "
+                         "loop with zero downloads")
     args = ap.parse_args(argv)
 
     from review_recommender_tpu.engine.search import SearchEngine
@@ -142,7 +277,12 @@ def main(argv=None) -> int:
     print(f"corpus: {len(products)} docs, {len(queries)} judged queries "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
-    encoder = BowProjectionEncoder(dim=384, seed=7)
+    log = lambda *a: print(*a, file=sys.stderr)
+    if args.trained:
+        encoder, cross = build_trained_towers(products, queries,
+                                              seed=args.seed, log=log)
+    else:
+        encoder, cross = BowProjectionEncoder(dim=384, seed=7), None
     t0 = time.perf_counter()
     emb = encoder.encode([p["agg_text"] for p in products])
     print(f"encode: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -151,12 +291,14 @@ def main(argv=None) -> int:
         products, emb, doc_terms_cap=128, pad_multiple=256,
     )
     print(f"index: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    # idf-weighted overlap rerank: weights from the index vocabulary
-    idf_map = {t: float(bundle.products.idf[i])
-               for t, i in bundle.products.vocab.items()}
+    if cross is None:
+        # idf-weighted overlap rerank: weights from the index vocabulary
+        idf_map = {t: float(bundle.products.idf[i])
+                   for t, i in bundle.products.vocab.items()}
+        cross = OverlapCrossScorer(idf=idf_map)
     engine = SearchEngine(
         bundle, query_encoder=encoder,
-        cross_encoder=OverlapCrossScorer(idf=idf_map),
+        cross_encoder=cross,
         gate_mode=args.gate_mode, dense_pool=args.dense_pool,
     )
 

@@ -153,6 +153,132 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Domain-adapt the query towers on the index's own review corpus, then
+    save serving-loadable native tower dirs (models/load.py native format).
+
+    The loop the reference cannot do (its encoders are frozen HF downloads):
+      rrt train --index-dir idx --out towers/
+      EMB_MODEL_DIR=towers/biencoder RERANK_MODEL_DIR=towers/crossencoder \
+          rrt serve --index-dir idx --with-rerank
+    (re-embed the corpus with data/embed_job.py if the bi-encoder changed).
+
+    With EMB_MODEL_DIR set, fine-tunes that checkpoint (HF snapshot or a
+    previous native tower); otherwise trains a from-scratch tower sized by
+    --hidden/--layers with a hash tokenizer.
+    """
+    from review_recommender_tpu.index.io import load_bundle
+    from review_recommender_tpu.models.bert import (
+        BertConfig,
+        init_biencoder,
+        init_crossencoder,
+    )
+    from review_recommender_tpu.models.load import save_native_tower
+    from review_recommender_tpu.models.tokenizer import HashTokenizer
+    from review_recommender_tpu.train import (
+        ContrastiveTrainer,
+        CrossEncoderTrainer,
+        CrossTrainConfig,
+        TrainConfig,
+        mine_pairs,
+        mine_triples,
+        train_biencoder,
+        train_crossencoder,
+    )
+    config.setup_logging()
+    bundle = load_bundle(args.index_dir)
+    if bundle.reviews is None:
+        print("train: the index bundle has no review texts to mine pairs "
+              "from (rebuild with reviews)", file=sys.stderr)
+        return 1
+    rev = bundle.reviews
+    prod = bundle.products
+    valid = np.asarray(rev.rev_valid, bool)
+    seg = np.asarray(rev.rev_product, np.int64)
+    review_texts = [t for t, v in zip(rev.rev_texts, valid) if v]
+    review_skus = [prod.skus[int(s)] for s, v in zip(seg, valid) if v]
+    pairs = mine_pairs(review_texts, review_skus, prod.skus, prod.agg_texts,
+                       max_pairs_per_product=args.pairs_per_product,
+                       seed=args.seed)
+    if not pairs:
+        print("train: no minable (query, positive) pairs", file=sys.stderr)
+        return 1
+    print(f"mined {len(pairs)} (query, positive) pairs from "
+          f"{len(review_texts)} reviews", file=sys.stderr)
+
+    out = Path(args.out)
+    tc = TrainConfig(learning_rate=args.lr, seed=args.seed)
+    if config.EMB_MODEL_DIR:
+        from review_recommender_tpu.models.load import load_biencoder
+
+        tower = load_biencoder(config.EMB_MODEL_DIR)
+        cfg_bi, params_bi, tok = tower.cfg, tower.params, tower.tokenizer
+    else:
+        heads = max(1, args.hidden // 64)
+        cfg_bi = BertConfig(
+            vocab_size=args.vocab_size, hidden_size=args.hidden,
+            num_layers=args.layers, num_heads=heads,
+            intermediate_size=2 * args.hidden, max_position=args.max_len,
+        )
+        _, params_bi = init_biencoder(cfg_bi, seed=args.seed)
+        tok = HashTokenizer(vocab_size=args.vocab_size)
+    trainer = ContrastiveTrainer(cfg_bi, params_bi, train_cfg=tc)
+    hist = train_biencoder(trainer, pairs, tok, batch_size=args.batch_size,
+                           epochs=args.epochs, max_len=args.max_len,
+                           seed=args.seed)
+    print(f"bi-encoder: {len(hist)} steps, final loss "
+          f"{hist[-1]['loss']:.4f} in-batch acc "
+          f"{hist[-1]['in_batch_acc']:.3f}", file=sys.stderr)
+    save_native_tower(out / "biencoder", "biencoder", cfg_bi,
+                      trainer.params, tok)
+
+    if args.cross:
+        triples = mine_triples(pairs, prod.agg_texts,
+                               n_negatives=args.negatives,
+                               seed=args.seed + 1)
+        if config.RERANK_MODEL_DIR:
+            from review_recommender_tpu.models.load import load_crossencoder
+
+            xt = load_crossencoder(config.RERANK_MODEL_DIR)
+            cfg_xe, params_xe, tok_xe = xt.cfg, xt.params, xt.tokenizer
+        else:
+            cfg_xe = BertConfig(
+                vocab_size=args.vocab_size,
+                hidden_size=max(64, args.hidden // 2),
+                num_layers=args.layers,
+                num_heads=max(1, args.hidden // 128),
+                intermediate_size=args.hidden,
+                max_position=2 * args.max_len,
+            )
+            _, params_xe = init_crossencoder(cfg_xe, seed=args.seed)
+            tok_xe = tok
+        xtr = CrossEncoderTrainer(
+            cfg_xe, params_xe,
+            train_cfg=CrossTrainConfig(learning_rate=args.lr, seed=args.seed),
+        )
+        xhist = train_crossencoder(xtr, triples, tok_xe,
+                                   batch_size=args.batch_size,
+                                   epochs=args.epochs,
+                                   max_len=2 * args.max_len, seed=args.seed)
+        print(f"cross-encoder: {len(xhist)} steps, final loss "
+              f"{xhist[-1]['loss']:.4f} acc {xhist[-1]['acc']:.3f}",
+              file=sys.stderr)
+        save_native_tower(out / "crossencoder", "crossencoder", cfg_xe,
+                          xtr.params, tok_xe)
+
+    print(json.dumps({
+        "pairs": len(pairs),
+        "biencoder": str(out / "biencoder"),
+        "crossencoder": str(out / "crossencoder") if args.cross else None,
+        "serve_env": {
+            "EMB_MODEL_DIR": str(out / "biencoder"),
+            **({"RERANK_MODEL_DIR": str(out / "crossencoder")}
+               if args.cross else {}),
+        },
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="rrt", description="TPU review-recommender framework CLI"
@@ -200,6 +326,27 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-queries", type=int, default=64)
     b.set_defaults(fn=cmd_bench)
+
+    t = sub.add_parser(
+        "train", help="domain-adapt query towers on the index's reviews"
+    )
+    t.add_argument("--index-dir", required=True)
+    t.add_argument("--out", required=True,
+                   help="output dir; writes biencoder/ (+ crossencoder/)")
+    t.add_argument("--cross", action="store_true",
+                   help="also train the rerank cross-encoder")
+    t.add_argument("--epochs", type=int, default=2)
+    t.add_argument("--batch-size", type=int, default=64)
+    t.add_argument("--max-len", type=int, default=96)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--pairs-per-product", type=int, default=4)
+    t.add_argument("--negatives", type=int, default=3)
+    t.add_argument("--vocab-size", type=int, default=8192,
+                   help="hash-tokenizer id space (from-scratch towers)")
+    t.add_argument("--hidden", type=int, default=256)
+    t.add_argument("--layers", type=int, default=2)
+    t.set_defaults(fn=cmd_train)
     return ap
 
 

@@ -48,6 +48,23 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     remat: bool = False  # jax.checkpoint per layer: trade FLOPs for HBM
     seed: int = 0
+    #: when total_steps > 0, learning_rate becomes the PEAK of a linear
+    #: warmup + cosine decay schedule (the standard BERT fine-tune shape;
+    #: from-scratch tiny towers need the warmup to not diverge at high lr)
+    total_steps: int = 0
+    warmup_steps: int = 0
+
+
+def make_lr(tc) -> "optax.Schedule | float":
+    """Constant lr, or warmup+cosine when tc.total_steps is set."""
+    if getattr(tc, "total_steps", 0) and tc.total_steps > 0:
+        warmup = tc.warmup_steps or max(1, tc.total_steps // 10)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=tc.learning_rate,
+            warmup_steps=warmup, decay_steps=tc.total_steps,
+            end_value=0.05 * tc.learning_rate,
+        )
+    return tc.learning_rate
 
 
 # ----------------------------------------------------------- sharding rules
@@ -106,7 +123,7 @@ class ContrastiveTrainer:
         self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),
-            optax.adamw(self.tc.learning_rate, weight_decay=self.tc.weight_decay),
+            optax.adamw(make_lr(self.tc), weight_decay=self.tc.weight_decay),
         )
         if mesh is not None:
             params = shard_params(params, mesh)

@@ -64,6 +64,43 @@ def mine_pairs(
     return pairs
 
 
+def mine_triples(
+    pairs: Sequence[Tuple[str, str]],
+    corpus_texts: Sequence[str],
+    *,
+    n_negatives: int = 3,
+    hard_negative_fn=None,
+    seed: int = 0,
+) -> List[Tuple[str, str, float]]:
+    """(query, doc, label) triples for pointwise cross-encoder training
+    (train/cross_encoder.py).
+
+    Each (query, positive) pair yields one label-1 triple plus
+    `n_negatives` label-0 triples. Negatives come from `hard_negative_fn`
+    when given — `fn(query, k) -> k candidate doc texts` (e.g. the engine's
+    BM25/dense pool, which surfaces the confusable docs that carry the
+    training signal) — with any candidate identical to the positive text
+    skipped; remaining slots fill with uniform random corpus docs.
+    Deterministic in `seed`.
+    """
+    rng = np.random.default_rng(seed)
+    triples: List[Tuple[str, str, float]] = []
+    n_corpus = len(corpus_texts)
+    for query, pos in pairs:
+        triples.append((query, pos, 1.0))
+        negs: List[str] = []
+        if hard_negative_fn is not None:
+            for cand in hard_negative_fn(query, n_negatives + 1):
+                if str(cand) != pos and len(negs) < n_negatives:
+                    negs.append(str(cand))
+        while len(negs) < n_negatives and n_corpus:
+            cand = str(corpus_texts[int(rng.integers(n_corpus))])
+            if cand != pos:
+                negs.append(cand)
+        triples.extend((query, d, 0.0) for d in negs)
+    return triples
+
+
 def iterate_batches(
     pairs: Sequence[Tuple[str, str]],
     tokenizer,
@@ -73,17 +110,33 @@ def iterate_batches(
     seed: int = 0,
     epochs: int = 1,
     drop_remainder: bool = True,
+    batch_order_only: bool = False,
 ) -> Iterator[tuple]:
     """Shuffled token batches (q_ids, q_mask, d_ids, d_mask) for the trainer.
-    Fixed pad width => one compiled train step."""
+    Fixed pad width => one compiled train step.
+
+    batch_order_only=True keeps each CONSECUTIVE batch_size block of `pairs`
+    together and shuffles only the block order per epoch. With pairs
+    pre-sorted so confusable items are adjacent (e.g. same product theme),
+    every in-batch negative becomes a HARD negative — the InfoNCE loss then
+    teaches document-level discrimination instead of the easy topic-level
+    split that a globally shuffled batch asks for.
+    """
     from review_recommender_tpu.train.contrastive import make_pair_batch
 
     rng = np.random.default_rng(seed)
     n = len(pairs)
+    n_blocks = n // batch_size if drop_remainder else -(-n // batch_size)
     for _ in range(epochs):
-        order = rng.permutation(n)
-        for lo in range(0, n, batch_size):
-            sel = order[lo : lo + batch_size]
+        if batch_order_only:
+            starts = [int(b) * batch_size
+                      for b in rng.permutation(max(n_blocks, 0))]
+        else:
+            order = rng.permutation(n)
+            starts = list(range(0, n, batch_size))
+        for lo in starts:
+            sel = (np.arange(lo, min(lo + batch_size, n))
+                   if batch_order_only else order[lo : lo + batch_size])
             if drop_remainder and len(sel) < batch_size:
                 break
             qs = [pairs[i][0] for i in sel]
@@ -103,6 +156,7 @@ def train_biencoder(
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
     log_every: int = 50,
+    batch_order_only: bool = False,
 ) -> List[dict]:
     """Epoch loop over mined pairs; checkpoints at each epoch end.
     Returns the per-step metrics history."""
@@ -111,7 +165,8 @@ def train_biencoder(
     logger = logging.getLogger(__name__)
     history: List[dict] = []
     for batch in iterate_batches(pairs, tokenizer, batch_size,
-                                 max_len=max_len, seed=seed, epochs=epochs):
+                                 max_len=max_len, seed=seed, epochs=epochs,
+                                 batch_order_only=batch_order_only):
         m = trainer.train_step(*batch)
         history.append(m)
         if log_every and m["step"] % log_every == 0:

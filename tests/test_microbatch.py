@@ -90,6 +90,29 @@ class TestMicroBatcher:
                 got_finals, scores[np.isfinite(scores)], rtol=1e-4, atol=1e-5)
             checked += 1
 
+    def test_warmup_buckets_compiles_every_bucket(self, engine):
+        """warmup_buckets must execute one batched program per bucket size
+        up to max_batch (so no live burst pays first-compile), and leave the
+        batcher fully usable."""
+        batcher = MicroBatcher(engine, window_ms=5.0, max_batch=8)
+        seen = []
+        orig = engine.query_fused_batched_pw
+
+        def spy(qvecs, texts, weights, pool, k, **kw):
+            seen.append(np.asarray(qvecs).shape[0])
+            return orig(qvecs, texts, weights, pool, k, **kw)
+
+        engine.query_fused_batched_pw = spy
+        try:
+            batcher.warmup_buckets(k=10, pool=32, dim=DIM)
+            assert seen == [b for b in MicroBatcher.BUCKETS if b <= 8]
+            out = batcher.search("yellow cat socks", _qvec(0), DEFAULT_W,
+                                 k=10, pool=32, use_snips=False)
+            assert len(out["results"]) > 0
+        finally:
+            engine.query_fused_batched_pw = orig
+            batcher.close()
+
     def test_mixed_weights_in_one_batch(self, engine):
         batcher = MicroBatcher(engine, window_ms=50.0, max_batch=8)
         weight_sets = [
