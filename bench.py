@@ -449,6 +449,47 @@ def main():
         srv.shutdown()
         engine.query_encoder = None
 
+    if os.getenv("BENCH_TRAIN", "1") == "1":
+        # contrastive fine-tune throughput on the flagship tower size
+        # (bge-small 12L): full train step = both tower forwards + InfoNCE +
+        # backward + adamw, one jitted program. The reference has no
+        # training subsystem at all; this line evidences the trainer's
+        # device efficiency (train/contrastive.py).
+        from review_recommender_tpu.models.bert import (
+            BertConfig,
+            init_biencoder,
+        )
+        from review_recommender_tpu.models.tokenizer import HashTokenizer
+        from review_recommender_tpu.train import (
+            ContrastiveTrainer,
+            TrainConfig,
+            make_pair_batch,
+        )
+
+        cfg_t = BertConfig.bge_small()
+        _, params_t = init_biencoder(cfg_t, seed=0)
+        tr = ContrastiveTrainer(cfg_t, params_t,
+                                train_cfg=TrainConfig(learning_rate=1e-4))
+        tok_t = HashTokenizer()
+        Bt, Lt = 64, 128
+        qs_t = [qstrings[i % len(qstrings)] for i in range(Bt)]
+        ds_t = [" ".join([qstrings[(i + j) % len(qstrings)]
+                          for j in range(8)]) for i in range(Bt)]
+        batch_t = make_pair_batch(tok_t, qs_t, ds_t, max_len=Lt, pad_to=Lt)
+        tr.train_step(*batch_t)  # compile
+        reps_t = 10
+        t0 = time.perf_counter()
+        for _ in range(reps_t):
+            tr.train_step(*batch_t)  # blocks per step (metrics readback)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "tail_metric": (f"contrastive train step, bge-small 12L "
+                            f"batch={Bt} seq={Lt}"),
+            "pairs_per_s": round(reps_t * Bt / dt, 1),
+            "step_ms": round(dt / reps_t * 1e3, 2),
+        }))
+        del tr, params_t
+
     if os.getenv("BENCH_STAGEA", "1") == "1":
         import jax
         import jax.numpy as jnp

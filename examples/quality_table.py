@@ -110,46 +110,80 @@ def build_corpus(n_themes: int, per_theme: int, n_queries: int,
 
 
 def build_trained_towers(products, queries, *, seed: int = 0,
-                         n_pairs: int = 8192, log=print):
-    """Train BOTH query towers from scratch on the corpus itself — the
-    in-repo answer to 'no pretrained weights can be downloaded here'.
+                         n_pairs: int = 8192, mlm_steps: int = 2000,
+                         log=print):
+    """Train the RERANK cross-encoder on the corpus itself — the in-repo
+    answer to 'no pretrained weights can be downloaded here'.
 
-    Self-supervised recipe (the same weak supervision train/data.py mines
-    from real review corpora): query = 5 keywords sampled from a document,
-    positive = that document; the bi-encoder trains with in-batch-negative
-    InfoNCE (train/contrastive.py) and the cross-encoder with pointwise BCE
-    over same-theme hard negatives (train/cross_encoder.py) — same-theme
-    docs share the query's word bank, so they are exactly the confusables
-    the rerank stage must learn to reject.
+    Winning recipe (every stage below was measured; see ROADMAP.md):
+      1. MLM-pretrain a 2-layer trunk on the corpus documents
+         (train/mlm.py). Without this the BCE fine-tune NEVER leaves the
+         label base rate — flat at chance across dtypes, learning rates and
+         embedding inits, even on easy random negatives.
+      2. Graft the trunk into the cross-encoder
+         (warm_start_from_biencoder) and BCE fine-tune with a curriculum:
+         one epoch of easy random negatives, then two epochs of 2/3
+         same-theme hard negatives (the confusables rerank must reject).
+      Measured: eval-query AUC (family docs vs 20 same-theme distractors)
+      0.45 (chance) from scratch -> 0.84 with this recipe.
+
+    The DENSE lane deliberately keeps the BoW projection encoder: trained
+    2-layer towers were measured at dense nDCG@10 0.08-0.13 vs BoW 0.46
+    (direct matmul metric) across pooling/init/curriculum variants — on a
+    lexical-overlap corpus at 8k-pair scale, a learned dense tower cannot
+    beat the lexical prior, and a weak dense pool starves every downstream
+    signal. An honest negative result, recorded here instead of hidden.
 
     Honesty: every document belonging to an eval anchor family
-    (queries[*].relevant_skus) is EXCLUDED from pair mining, so the towers
-    never see an eval-relevant document paired with anything at train time.
+    (queries[*].relevant_skus) is EXCLUDED from MLM pretraining and pair
+    mining, so the towers never see an eval-relevant document at train time.
     """
     from collections import defaultdict
 
     from review_recommender_tpu.models.bert import (
         BertConfig,
-        init_biencoder,
         init_crossencoder,
     )
-    from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+    from review_recommender_tpu.models.bow import BowProjectionEncoder
+    from review_recommender_tpu.models.encoder import CrossEncoder
     from review_recommender_tpu.models.tokenizer import HashTokenizer
     from review_recommender_tpu.train import (
-        ContrastiveTrainer,
         CrossEncoderTrainer,
         CrossTrainConfig,
-        TrainConfig,
+        MLMTrainConfig,
+        MLMTrainer,
+        init_mlm,
         mine_triples,
-        train_biencoder,
+        pretrain_mlm,
         train_crossencoder,
+    )
+    from review_recommender_tpu.train.cross_encoder import (
+        warm_start_from_biencoder,
     )
 
     fam: set = set()
     for q in queries:
         fam.update(q["relevant_skus"])
     train_docs = [p for p in products if p["sku"] not in fam]
+    texts = [p["agg_text"] for p in train_docs]
+    tok = HashTokenizer(vocab_size=8192)
+    cfg = BertConfig(vocab_size=8192, hidden_size=256, num_layers=2,
+                     num_heads=4, intermediate_size=512, max_position=128)
+    batch = 64
 
+    # --- 1) MLM pretrain the trunk on corpus documents
+    t0 = time.perf_counter()
+    _, mlm_params = init_mlm(cfg, seed=seed)
+    mtr = MLMTrainer(cfg, mlm_params,
+                     train_cfg=MLMTrainConfig(learning_rate=5e-4, seed=seed,
+                                              total_steps=mlm_steps))
+    hist = pretrain_mlm(mtr, texts, tok, batch_size=batch, steps=mlm_steps,
+                        max_len=96, seed=seed)
+    log(f"mlm pretrain: {mlm_steps} steps, masked acc "
+        f"{np.mean([m['masked_acc'] for m in hist[-100:]]):.3f} "
+        f"({time.perf_counter() - t0:.1f}s)")
+
+    # --- 2) mine pairs + triples (easy and hard)
     rng = np.random.default_rng(seed + 101)
     sample = rng.choice(len(train_docs),
                         size=min(n_pairs, len(train_docs)), replace=False)
@@ -163,38 +197,8 @@ def build_trained_towers(products, queries, *, seed: int = 0,
         q = " ".join(toks[j] for j in sorted(pick))
         pairs.append((q, p["agg_text"]))
         theme_of[q] = int(p["sku"][1:4])
-    # theme-sort + block batching: every in-batch negative shares the
-    # positive's theme word bank, so InfoNCE must learn WHICH same-theme
-    # doc the keywords came from (doc-level, not topic-level, matching) —
-    # globally shuffled batches plateau at topic-level and lose to BoW
-    pairs.sort(key=lambda qd: theme_of[qd[0]])
 
-    tok = HashTokenizer(vocab_size=8192)
-    batch, bi_epochs = 64, 6
-
-    # --- bi-encoder: 2-layer 256-wide tower, InfoNCE over the MXU
-    t0 = time.perf_counter()
-    cfg_bi = BertConfig(vocab_size=8192, hidden_size=256, num_layers=2,
-                        num_heads=4, intermediate_size=512, max_position=96)
-    _, params_bi = init_biencoder(cfg_bi, seed=seed)
-    steps = (len(pairs) // batch) * bi_epochs
-    tr_bi = ContrastiveTrainer(
-        cfg_bi, params_bi,
-        train_cfg=TrainConfig(learning_rate=1e-3, seed=seed,
-                              total_steps=steps),
-    )
-    hist = train_biencoder(tr_bi, pairs, tok, batch_size=batch,
-                           epochs=bi_epochs, max_len=96, seed=seed,
-                           batch_order_only=True)
-    log(f"bi-encoder: {len(pairs)} pairs, {len(hist)} steps, "
-        f"final loss {hist[-1]['loss']:.3f} "
-        f"in-batch acc {hist[-1]['in_batch_acc']:.3f} "
-        f"({time.perf_counter() - t0:.1f}s)")
-    bi = BiEncoder(cfg_bi, tr_bi.params, tok, max_len=96)
-
-    # --- cross-encoder: 2-layer 128-wide pair scorer, 2 same-theme hard
-    # negatives + 1 random negative per positive
-    t0 = time.perf_counter()
+    easy = mine_triples(pairs, texts, n_negatives=1, seed=seed + 7)
     by_theme = defaultdict(list)
     for p in train_docs:
         by_theme[int(p["sku"][1:4])].append(p["agg_text"])
@@ -202,41 +206,38 @@ def build_trained_towers(products, queries, *, seed: int = 0,
 
     def same_theme_negatives(query, k):
         docs = by_theme[theme_of[query]]
-        n = min(2, k, len(docs))  # cap at 2: the 3rd slot fills randomly
+        n = min(2, k, len(docs))  # 2 hard + 1 random per positive
         idx = neg_rng.choice(len(docs), size=n, replace=False)
         return [docs[int(j)] for j in idx]
 
-    triples = mine_triples(pairs, [p["agg_text"] for p in train_docs],
-                           n_negatives=3,
-                           hard_negative_fn=same_theme_negatives,
-                           seed=seed + 303)
-    # same trunk dims as the bi-encoder so its trained encoder grafts in —
-    # from a random trunk the BCE head collapses to the label base rate
-    # (see train/cross_encoder.py:warm_start_from_biencoder)
-    from review_recommender_tpu.train.cross_encoder import (
-        warm_start_from_biencoder,
-    )
+    hard = mine_triples(pairs, texts, n_negatives=3,
+                        hard_negative_fn=same_theme_negatives,
+                        seed=seed + 303)
 
-    cfg_xe = BertConfig(vocab_size=8192, hidden_size=256, num_layers=2,
-                        num_heads=4, intermediate_size=512, max_position=128)
-    _, params_xe = init_crossencoder(cfg_xe, seed=seed)
-    params_xe = warm_start_from_biencoder(params_xe, tr_bi.params)
-    xe_epochs = 4
-    steps = (len(triples) // batch) * xe_epochs
-    tr_xe = CrossEncoderTrainer(
-        cfg_xe, params_xe,
-        train_cfg=CrossTrainConfig(learning_rate=3e-4, seed=seed,
-                                   total_steps=steps),
+    # --- 3) graft + curriculum BCE fine-tune
+    t0 = time.perf_counter()
+    _, params_xe = init_crossencoder(cfg, seed=seed)
+    params_xe = warm_start_from_biencoder(params_xe, mtr.params)
+    tr = CrossEncoderTrainer(
+        cfg, params_xe,
+        train_cfg=CrossTrainConfig(learning_rate=1e-4, seed=seed,
+                                   total_steps=len(easy) // batch),
     )
-    hist = train_crossencoder(tr_xe, triples, tok, batch_size=batch,
-                              epochs=xe_epochs, max_len=128, seed=seed)
-    recent = hist[-50:]
-    log(f"cross-encoder: {len(triples)} triples, {len(hist)} steps, "
-        f"final-50 loss {np.mean([m['loss'] for m in recent]):.3f} "
-        f"acc {np.mean([m['acc'] for m in recent]):.3f} "
-        f"(base rate 0.75) ({time.perf_counter() - t0:.1f}s)")
-    xe = CrossEncoder(cfg_xe, tr_xe.params, tok, max_len=128)
-    return bi, xe
+    h1 = train_crossencoder(tr, easy, tok, batch_size=batch, epochs=1,
+                            max_len=128, seed=seed)
+    tr2 = CrossEncoderTrainer(
+        cfg, tr.params,
+        train_cfg=CrossTrainConfig(learning_rate=1e-4, seed=seed,
+                                   total_steps=(len(hard) // batch) * 2),
+    )
+    h2 = train_crossencoder(tr2, hard, tok, batch_size=batch, epochs=2,
+                            max_len=128, seed=seed)
+    log(f"cross-encoder: easy acc "
+        f"{np.mean([m['acc'] for m in h1[-50:]]):.3f} (base 0.5), hard acc "
+        f"{np.mean([m['acc'] for m in h2[-50:]]):.3f} (base 0.75) "
+        f"({time.perf_counter() - t0:.1f}s)")
+    xe = CrossEncoder(cfg, tr2.params, tok, max_len=128)
+    return BowProjectionEncoder(dim=384, seed=7), xe
 
 
 def main(argv=None) -> int:
@@ -253,10 +254,10 @@ def main(argv=None) -> int:
                          "(DENSE_POOL_MODE) — run both and diff the table "
                          "to see the quality cost of the ~0.99-recall pool")
     ap.add_argument("--trained", action="store_true",
-                    help="train tiny bi-/cross-encoder towers on the corpus "
-                         "(eval families held out) instead of the BoW/"
-                         "overlap stand-ins — the full train->index->serve "
-                         "loop with zero downloads")
+                    help="MLM-pretrain + fine-tune the rerank cross-encoder "
+                         "on the corpus (eval families held out) instead of "
+                         "the idf-overlap stand-in — the full "
+                         "pretrain->train->serve loop with zero downloads")
     args = ap.parse_args(argv)
 
     from review_recommender_tpu.engine.search import SearchEngine

@@ -18,3 +18,10 @@ from review_recommender_tpu.train.data import (  # noqa: F401
     mine_triples,
     train_biencoder,
 )
+from review_recommender_tpu.train.mlm import (  # noqa: F401
+    MLMTrainConfig,
+    MLMTrainer,
+    init_mlm,
+    make_mlm_batch,
+    pretrain_mlm,
+)

@@ -136,8 +136,11 @@ class CrossEncoderTrainer:
 
 
 def warm_start_from_biencoder(xe_params, bi_params):
-    """Graft a trained BiEncoderModel's BertEncoder trunk into a
-    CrossEncoderModel param tree (pooler/classifier head stays at init).
+    """Graft a trained trunk into a CrossEncoderModel param tree
+    (pooler/classifier head stays at init). Accepts any source whose
+    BertEncoder lives under the "encoder" key: a trained BiEncoderModel or
+    an MLM-pretrained MLMModel (train/mlm.py) — the latter is the one that
+    actually rescues from-scratch cross-encoder training (see below).
 
     The standard retriever->reranker bootstrap: a from-scratch cross-encoder
     must first learn token-identity structure before BCE on a scalar head
