@@ -163,15 +163,24 @@ class ContrastiveTrainer:
         return params, opt_state, loss, acc
 
     def train_step(self, q_ids, q_mask, d_ids, d_mask) -> Dict[str, float]:
-        """One step on a (query, positive-doc) token batch. Returns metrics."""
+        """One step on a (query, positive-doc) token batch. Returns metrics
+        (blocks on the device for the values)."""
+        m = self.train_step_async(q_ids, q_mask, d_ids, d_mask)
+        return {k: v if k == "step" else float(v) for k, v in m.items()}
+
+    def train_step_async(self, q_ids, q_mask, d_ids, d_mask) -> Dict:
+        """Like train_step but metrics stay device arrays — no blocking
+        readback per step. On a tunneled TPU a per-step sync costs a full
+        RPC round trip (~28 ms here); loops that only LOG every N steps
+        should dispatch async and materialize at the log points
+        (utils like train_biencoder/pretrain_mlm do)."""
         self.params, self.opt_state, loss, acc = self._step_fn(
             self.params, self.opt_state,
             jnp.asarray(q_ids), jnp.asarray(q_mask),
             jnp.asarray(d_ids), jnp.asarray(d_mask),
         )
         self.step += 1
-        return {"loss": float(loss), "in_batch_acc": float(acc),
-                "step": self.step}
+        return {"loss": loss, "in_batch_acc": acc, "step": self.step}
 
     # ------------------------------------------------------------- checkpoint
     def save(self, path: str | Path) -> None:

@@ -101,14 +101,20 @@ class CrossEncoderTrainer:
         return params, opt_state, loss, acc
 
     def train_step(self, ids, mask, ttype, labels) -> Dict[str, float]:
-        """One step on a tokenized triple batch. Returns metrics."""
+        """One step on a tokenized triple batch. Returns metrics (blocks)."""
+        m = self.train_step_async(ids, mask, ttype, labels)
+        return {k: v if k == "step" else float(v) for k, v in m.items()}
+
+    def train_step_async(self, ids, mask, ttype, labels) -> Dict:
+        """Metrics stay device arrays (no per-step sync — see
+        train/contrastive.py:train_step_async)."""
         self.params, self.opt_state, loss, acc = self._step_fn(
             self.params, self.opt_state,
             jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(ttype),
             jnp.asarray(labels),
         )
         self.step += 1
-        return {"loss": float(loss), "acc": float(acc), "step": self.step}
+        return {"loss": loss, "acc": acc, "step": self.step}
 
     # ------------------------------------------------------------- checkpoint
     def save(self, path: str | Path) -> None:
@@ -215,11 +221,13 @@ def train_crossencoder(
             ys = [triples[i][2] for i in sel]
             batch = make_triple_batch(tokenizer, qs, ds, ys, max_len=max_len,
                                       pad_to=max_len)
-            m = trainer.train_step(*batch)
+            m = trainer.train_step_async(*batch)  # no per-step device sync
             history.append(m)
             if log_every and m["step"] % log_every == 0:
                 logger.info("step %d loss %.4f acc %.3f", m["step"],
-                            m["loss"], m["acc"])
+                            float(m["loss"]), float(m["acc"]))
+    history = [{k: v if k == "step" else float(v) for k, v in m.items()}
+               for m in history]
     if checkpoint_path is not None:
         trainer.save(checkpoint_path)
     return history

@@ -167,11 +167,15 @@ def train_biencoder(
     for batch in iterate_batches(pairs, tokenizer, batch_size,
                                  max_len=max_len, seed=seed, epochs=epochs,
                                  batch_order_only=batch_order_only):
-        m = trainer.train_step(*batch)
+        # async steps: metrics materialize only at log points / the end,
+        # so training never pays a per-step device sync
+        m = trainer.train_step_async(*batch)
         history.append(m)
         if log_every and m["step"] % log_every == 0:
-            logger.info("step %d loss %.4f acc %.3f", m["step"], m["loss"],
-                        m["in_batch_acc"])
+            logger.info("step %d loss %.4f acc %.3f", m["step"],
+                        float(m["loss"]), float(m["in_batch_acc"]))
+    history = [{k: v if k == "step" else float(v) for k, v in m.items()}
+               for m in history]
     if checkpoint_path is not None:
         trainer.save(checkpoint_path)
     return history

@@ -153,14 +153,20 @@ class MLMTrainer:
         return params, opt_state, loss, acc
 
     def train_step(self, ids, mask, labels, weights) -> Dict[str, float]:
+        """One masked-batch step. Returns metrics (blocks)."""
+        m = self.train_step_async(ids, mask, labels, weights)
+        return {k: v if k == "step" else float(v) for k, v in m.items()}
+
+    def train_step_async(self, ids, mask, labels, weights) -> Dict:
+        """Metrics stay device arrays (no per-step sync — see
+        train/contrastive.py:train_step_async)."""
         self.params, self.opt_state, loss, acc = self._step_fn(
             self.params, self.opt_state,
             jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
             jnp.asarray(weights),
         )
         self.step += 1
-        return {"loss": float(loss), "masked_acc": float(acc),
-                "step": self.step}
+        return {"loss": loss, "masked_acc": acc, "step": self.step}
 
     def save(self, path: str | Path) -> None:
         path = Path(path)
@@ -201,11 +207,13 @@ def pretrain_mlm(trainer: MLMTrainer, texts: Sequence[str], tokenizer, *,
         batch = make_mlm_batch(tokenizer, [texts[int(i)] for i in sel],
                                max_len=max_len, rng=rng,
                                mask_prob=trainer.tc.mask_prob)
-        m = trainer.train_step(*batch)
+        m = trainer.train_step_async(*batch)  # no per-step device sync
         history.append(m)
         if log_every and m["step"] % log_every == 0:
             logger.info("mlm step %d loss %.4f masked_acc %.3f",
-                        m["step"], m["loss"], m["masked_acc"])
+                        m["step"], float(m["loss"]), float(m["masked_acc"]))
+    history = [{k: v if k == "step" else float(v) for k, v in m.items()}
+               for m in history]
     if checkpoint_path is not None:
         trainer.save(checkpoint_path)
     return history
