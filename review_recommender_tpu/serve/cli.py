@@ -27,7 +27,8 @@ from review_recommender_tpu.config import config
 
 
 def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
-                 with_models: bool = True, with_rerank: bool = False):
+                 with_models: bool = True, with_rerank: bool = False,
+                 dense_pool: Optional[str] = None):
     from review_recommender_tpu.engine.search import SearchEngine
     from review_recommender_tpu.index.io import load_bundle
 
@@ -54,12 +55,13 @@ def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
 
             cross = CrossEncoder.random_init()
     return SearchEngine(bundle, query_encoder=encoder, cross_encoder=cross,
-                        gate_mode=gate_mode)
+                        gate_mode=gate_mode, dense_pool=dense_pool)
 
 
 def cmd_search(args) -> int:
     engine = _load_engine(args.index_dir, args.gate_mode,
-                          with_rerank=args.rerank_k > 0)
+                          with_rerank=args.rerank_k > 0,
+                          dense_pool=args.dense_pool)
     t0 = time.perf_counter()
     df, snips, debug = engine.run_search(
         args.query, k=args.k, rerank_k=args.rerank_k,
@@ -90,7 +92,8 @@ def cmd_serve(args) -> int:
 
     config.setup_logging()
     engine = _load_engine(args.index_dir, args.gate_mode,
-                          with_rerank=args.with_rerank)
+                          with_rerank=args.with_rerank,
+                          dense_pool=args.dense_pool)
     srv = serve(engine, host=args.host, port=args.port, warmup_async=True)
     print(f"serving on http://{args.host}:{args.port} "
           f"(docs={engine.products.n_docs}); warming up in background",
@@ -300,6 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-reviews", type=int, default=c.DEFAULT_MIN_REVIEWS)
     s.add_argument("--gate-penalty", type=float, default=c.DEFAULT_GATE_PENALTY)
     s.add_argument("--gate-mode", default=None, choices=[None, "host", "device"])
+    s.add_argument("--dense-pool", default=None, choices=[None, "exact", "striped"],
+                   help="striped: 2-stage stripe-max stage-A pool — ~1.5-1.8x "
+                        "faster, ~0.99 pool recall, measured quality parity "
+                        "(evals_out/striped). Default: DENSE_POOL_MODE env "
+                        "(exact)")
     s.add_argument("--snippets", action="store_true")
     s.add_argument("--json-out")
     s.set_defaults(fn=cmd_search)
@@ -309,6 +317,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--host", default=c.APP_HOST)
     v.add_argument("--port", type=int, default=c.APP_PORT)
     v.add_argument("--gate-mode", default=None)
+    v.add_argument("--dense-pool", default=None,
+                   choices=[None, "exact", "striped"])
     v.add_argument("--with-rerank", action="store_true",
                    help="load the cross-encoder for rerank_k>0 requests")
     v.set_defaults(fn=cmd_serve)
