@@ -210,6 +210,41 @@ def cmd_train(args) -> int:
           f"{len(review_texts)} reviews", file=sys.stderr)
 
     out = Path(args.out)
+    mlm_trunk = None
+    if args.mlm_steps > 0:
+        # MLM-pretrain a trunk on the corpus documents first — measured to
+        # be the difference between a from-scratch cross-encoder that
+        # learns and one that never leaves the label base rate
+        # (train/mlm.py module docstring)
+        from review_recommender_tpu.train import (
+            MLMTrainConfig,
+            MLMTrainer,
+            init_mlm,
+            pretrain_mlm,
+        )
+
+        heads = max(1, args.hidden // 64)
+        cfg_mlm = BertConfig(
+            vocab_size=args.vocab_size, hidden_size=args.hidden,
+            num_layers=args.layers, num_heads=heads,
+            intermediate_size=2 * args.hidden, max_position=2 * args.max_len,
+        )
+        _, mlm_params = init_mlm(cfg_mlm, seed=args.seed)
+        mtr = MLMTrainer(cfg_mlm, mlm_params,
+                         train_cfg=MLMTrainConfig(learning_rate=args.lr,
+                                                  seed=args.seed,
+                                                  total_steps=args.mlm_steps))
+        mhist = pretrain_mlm(mtr, prod.agg_texts,
+                             HashTokenizer(vocab_size=args.vocab_size),
+                             batch_size=args.batch_size,
+                             steps=args.mlm_steps, max_len=args.max_len,
+                             seed=args.seed)
+        print(f"mlm pretrain: {args.mlm_steps} steps, masked acc "
+              f"{np.mean([m['masked_acc'] for m in mhist[-100:]]):.3f}",
+              file=sys.stderr)
+        mlm_trunk = mtr.params
+        mtr.save(out / "mlm_trunk.msgpack")
+
     tc = TrainConfig(learning_rate=args.lr, seed=args.seed)
     if config.EMB_MODEL_DIR:
         from review_recommender_tpu.models.load import load_biencoder
@@ -225,6 +260,12 @@ def cmd_train(args) -> int:
         )
         _, params_bi = init_biencoder(cfg_bi, seed=args.seed)
         tok = HashTokenizer(vocab_size=args.vocab_size)
+        if mlm_trunk is not None:
+            from review_recommender_tpu.train.cross_encoder import (
+                warm_start_from_biencoder,
+            )
+
+            params_bi = warm_start_from_biencoder(params_bi, mlm_trunk)
     trainer = ContrastiveTrainer(cfg_bi, params_bi, train_cfg=tc)
     hist = train_biencoder(trainer, pairs, tok, batch_size=args.batch_size,
                            epochs=args.epochs, max_len=args.max_len,
@@ -244,6 +285,23 @@ def cmd_train(args) -> int:
 
             xt = load_crossencoder(config.RERANK_MODEL_DIR)
             cfg_xe, params_xe, tok_xe = xt.cfg, xt.params, xt.tokenizer
+        elif mlm_trunk is not None:
+            # same trunk dims as the MLM model so the pretrained encoder
+            # grafts in (the recipe that actually works — train/mlm.py)
+            from review_recommender_tpu.train.cross_encoder import (
+                warm_start_from_biencoder,
+            )
+
+            cfg_xe = BertConfig(
+                vocab_size=args.vocab_size, hidden_size=args.hidden,
+                num_layers=args.layers,
+                num_heads=max(1, args.hidden // 64),
+                intermediate_size=2 * args.hidden,
+                max_position=2 * args.max_len,
+            )
+            _, params_xe = init_crossencoder(cfg_xe, seed=args.seed)
+            params_xe = warm_start_from_biencoder(params_xe, mlm_trunk)
+            tok_xe = tok
         else:
             cfg_xe = BertConfig(
                 vocab_size=args.vocab_size,
@@ -356,6 +414,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hash-tokenizer id space (from-scratch towers)")
     t.add_argument("--hidden", type=int, default=256)
     t.add_argument("--layers", type=int, default=2)
+    t.add_argument("--mlm-steps", type=int, default=0,
+                   help="MLM-pretrain the trunk on the corpus docs for N "
+                        "steps before fine-tuning (from-scratch towers; "
+                        "required for a from-scratch cross-encoder to "
+                        "learn at all — see train/mlm.py)")
     t.set_defaults(fn=cmd_train)
     return ap
 

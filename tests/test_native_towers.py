@@ -126,3 +126,35 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     xe = load_crossencoder(out / "crossencoder", max_len=64)
     scores = xe.score_pairs(["socks"] * 3, TEXTS)
     assert scores.shape == (3,) and np.isfinite(scores).all()
+
+
+def test_cli_train_with_mlm_pretrain(tmp_path):
+    """--mlm-steps pretrains a trunk, grafts it into BOTH from-scratch
+    towers (cross-encoder dims follow the trunk), and saves it."""
+    from tests.test_engine_parity import make_corpus
+    from review_recommender_tpu.index.build import build_bundle_from_products
+    from review_recommender_tpu.index.io import save_bundle
+    from review_recommender_tpu.serve.cli import main
+
+    p, e, r, re_ = make_corpus(n=16, dim=32, seed=4)
+    idx = tmp_path / "idx"
+    save_bundle(
+        build_bundle_from_products(p, e, reviews=r, review_embeddings=re_,
+                                   pad_multiple=8, doc_terms_cap=32),
+        idx,
+    )
+    out = tmp_path / "towers"
+    rc = main([
+        "train", "--index-dir", str(idx), "--out", str(out), "--cross",
+        "--epochs", "1", "--batch-size", "8", "--max-len", "32",
+        "--hidden", "64", "--layers", "1", "--vocab-size", "512",
+        "--mlm-steps", "4",
+    ])
+    assert rc == 0
+    assert (out / "mlm_trunk.msgpack").exists()
+    bi = load_biencoder(out / "biencoder", max_len=32)
+    assert bi.encode(TEXTS).shape == (3, 64)
+    xe = load_crossencoder(out / "crossencoder", max_len=64)
+    # cross-encoder took the trunk dims (hidden 64), not the hidden//2 path
+    assert xe.cfg.hidden_size == 64 and xe.cfg.intermediate_size == 128
+    assert np.isfinite(xe.score_pairs(["socks"] * 3, TEXTS)).all()
