@@ -124,6 +124,20 @@ class SearchEngine:
         self.arrays = self.products.device_arrays(
             self.dtype, quantize_int8=self.int8_mode
         )
+        if self.dense_pool == "striped" and "emb" in self.arrays:
+            # one-time (s, G, D) slicing for the fused score+pool scan;
+            # the flat emb stays for the exact/full-scan paths (~+1 corpus
+            # of HBM, 153 MB at N=200k bf16 — cheap next to the 2.6->0.4 ms
+            # stage-A saving)
+            from review_recommender_tpu.ops.dense import (
+                slice_corpus_for_striped,
+            )
+
+            self.arrays["emb_s"], self.arrays["valid_s"] = (
+                slice_corpus_for_striped(self.arrays["emb"],
+                                         self.arrays["valid"],
+                                         self.dense_stripes)
+            )
         self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
         self.n_docs = self.products.n_docs
 
@@ -176,6 +190,16 @@ class SearchEngine:
             sims = dense_scores_int8(a["emb_q"], a["emb_scale"], qvec,
                                      a["valid"])
         else:
+            if self.dense_pool == "striped" and "emb_s" in a:
+                # fused score+pool scan: the (B, N) sims never hit HBM
+                # (ops/dense.py:dense_striped_topk_scan — 2.6 -> ~0.4 ms
+                # per 32-query batch at N=200k)
+                from review_recommender_tpu.ops.dense import (
+                    dense_striped_topk_scan,
+                )
+
+                return dense_striped_topk_scan(a["emb_s"], a["valid_s"],
+                                               qvec, pool)
             from review_recommender_tpu.ops.dense import dense_scores
 
             sims = dense_scores(a["emb"], qvec, a["valid"])

@@ -76,6 +76,69 @@ def striped_topk(
     return top, idx
 
 
+def slice_corpus_for_striped(emb, valid, stripes: int):
+    """One-time host/device prep for dense_striped_topk_scan: pad the corpus
+    to s*G rows and view it as (s, G, D) slices + (s, G) validity.
+
+    Stripe g is the STRIDED row set {g, G+g, 2G+g, ...} (slice r holds row
+    r*G+g), so the (s, G, D) view is a plain reshape of the contiguous
+    buffer — no permutation, and stripe membership is as score-independent
+    as the contiguous blocks striped_topk uses."""
+    n, d = emb.shape
+    g = min(int(stripes), n)
+    s = -(-n // g)
+    pad = s * g - n
+    emb_p = jnp.pad(emb, ((0, pad), (0, 0))) if pad else emb
+    valid_p = jnp.pad(valid, (0, pad)) if pad else valid
+    return emb_p.reshape(s, g, d), valid_p.reshape(s, g)
+
+
+def dense_striped_topk_scan(
+    emb_s: jax.Array, valid_s: jax.Array, qvec: jax.Array, pool: int
+) -> tuple[jax.Array, jax.Array]:
+    """Fused dense scoring + striped top-`pool` WITHOUT materializing the
+    (B, N) similarity matrix.
+
+    The separate dense_scores -> striped_topk pipeline writes the full
+    (B, N) f32 sims to HBM and reads it back for the stripe reduction —
+    measured 2.6 ms per 32-query batch at N=200k on v5e, vs a ~0.25 ms
+    corpus-bandwidth bound. Here a lax.scan walks the (s, G, D) corpus
+    slices (slice_corpus_for_striped), each step one (B, D) @ (D, G)
+    matmul whose (B, G) result immediately folds into running per-stripe
+    max/argmax carries — elementwise selects, no lane reductions, nothing
+    corpus-sized ever leaves the compute units. Scores are EXACT; pool
+    membership recall is the striped_topk bound (~1 - pool^2/(2G)).
+
+    qvec: (D,) — vmap for batches (scan and the matmul batch cleanly).
+    Returns (scores (pool,) f32 desc, row indices (pool,) int32 into the
+    ORIGINAL corpus row space: row = r*G + g).
+    """
+    s, g, _d = emb_s.shape
+    kk = min(int(pool), g)
+
+    def body(carry, sl):
+        best, best_r, r = carry
+        emb_r, valid_r = sl
+        sims = jnp.dot(qvec.astype(emb_r.dtype), emb_r.T,
+                       preferred_element_type=jnp.float32)
+        sims = jnp.where(valid_r, sims, NEG_INF)
+        upd = sims > best
+        best = jnp.where(upd, sims, best)
+        best_r = jnp.where(upd, r, best_r)
+        return (best, best_r, r + jnp.int32(1)), None
+
+    init = (jnp.full((g,), NEG_INF, jnp.float32),
+            jnp.zeros((g,), jnp.int32), jnp.int32(0))
+    # full unroll: s is small (~N/8192) and static; unrolling lets XLA
+    # software-pipeline slice i+1's matmul under slice i's fold (measured
+    # 1.58 -> 1.29 ms per 32-query batch at N=200k)
+    (best, best_r, _), _ = jax.lax.scan(body, init, (emb_s, valid_s),
+                                        unroll=True)
+    top, gi = jax.lax.top_k(best, kk)
+    idx = jnp.take(best_r, gi) * g + gi
+    return top, idx.astype(jnp.int32)
+
+
 def quantize_corpus_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric per-row int8 quantization of an L2-normalized corpus matrix.
 

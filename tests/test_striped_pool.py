@@ -56,6 +56,74 @@ def test_batched_under_vmap():
         np.testing.assert_allclose(top[b], sims_h[b][idx[b]], rtol=1e-6)
 
 
+def test_scan_matches_separate_pipeline():
+    """dense_striped_topk_scan (fused score+pool, strided stripes) returns
+    EXACT scores for whatever rows it picks, recall comparable to
+    striped_topk, and is exact when every stripe holds one row."""
+    from review_recommender_tpu.ops.dense import (
+        dense_scores,
+        dense_striped_topk_scan,
+        slice_corpus_for_striped,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, pool = 1000, 32, 16
+    emb_h = rng.standard_normal((n, d)).astype(np.float32)
+    emb_h /= np.linalg.norm(emb_h, axis=1, keepdims=True)
+    valid_h = np.ones(n, bool)
+    valid_h[-7:] = False  # padding rows must never be selected
+    q = rng.standard_normal(d).astype(np.float32)
+
+    emb = jnp.asarray(emb_h)
+    valid = jnp.asarray(valid_h)
+    sims = np.asarray(dense_scores(emb, jnp.asarray(q), valid))
+
+    # stripes >= n -> exact top-k
+    emb_s, valid_s = slice_corpus_for_striped(emb, valid, stripes=1024)
+    top, idx = map(np.asarray,
+                   dense_striped_topk_scan(emb_s, valid_s, jnp.asarray(q),
+                                           pool))
+    exact_idx = np.argsort(-sims)[:pool]
+    np.testing.assert_array_equal(np.sort(idx), np.sort(exact_idx))
+    np.testing.assert_allclose(top, sims[idx], atol=1e-6)
+
+    # stripes < n -> scores still exact for the chosen rows, high recall,
+    # invalid rows excluded
+    emb_s, valid_s = slice_corpus_for_striped(emb, valid, stripes=128)
+    top, idx = map(np.asarray,
+                   dense_striped_topk_scan(emb_s, valid_s, jnp.asarray(q),
+                                           pool))
+    assert (idx < n - 7).all()
+    np.testing.assert_allclose(top, sims[idx], atol=1e-6)
+    assert len(set(idx.tolist()) & set(exact_idx.tolist())) >= pool - 3
+
+    # batched under vmap
+    qs = rng.standard_normal((4, d)).astype(np.float32)
+    f = jax.vmap(lambda qq: dense_striped_topk_scan(emb_s, valid_s, qq, 8))
+    tb, ib = map(np.asarray, f(jnp.asarray(qs)))
+    assert tb.shape == (4, 8) and ib.shape == (4, 8)
+    for b in range(4):
+        sims_b = np.where(valid_h, emb_h @ qs[b], -np.inf)
+        np.testing.assert_allclose(tb[b], sims_b[ib[b]], atol=1e-5)
+
+
+def test_engine_striped_uses_scan_path():
+    """A striped-mode engine builds the (s, G, D) slices and routes
+    _dense_topk through the fused scan."""
+    from tests.test_engine_parity import make_corpus
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.build import build_bundle_from_products
+
+    products, emb, _r, _re = make_corpus(n=64, dim=32, seed=2)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=32)
+    eng = SearchEngine(bundle, emb_dtype="float32", gate_mode="device",
+                       dense_pool="striped")
+    assert "emb_s" in eng.arrays and "valid_s" in eng.arrays
+    s, g, d = eng.arrays["emb_s"].shape
+    assert s * g >= eng.products.n_padded and d == 32
+
+
 def test_engine_striped_mode_small_corpus_matches_exact():
     """On a corpus smaller than the stripe count the striped engine is
     bit-identical to the exact engine (stripe size 1)."""
