@@ -127,7 +127,7 @@ class SearchEngine:
         if self.dense_pool == "striped" and "emb" in self.arrays:
             # one-time (s, G, D) slicing for the fused score+pool scan;
             # the flat emb stays for the exact/full-scan paths (~+1 corpus
-            # of HBM, 153 MB at N=200k bf16 — cheap next to the 2.6->0.4 ms
+            # of HBM, 153 MB at N=200k bf16 — cheap next to the 2.6->1.3 ms
             # stage-A saving)
             from review_recommender_tpu.ops.dense import (
                 slice_corpus_for_striped,
@@ -138,6 +138,15 @@ class SearchEngine:
                                          self.arrays["valid"],
                                          self.dense_stripes)
             )
+        elif self.dense_pool == "striped" and "emb_q" in self.arrays:
+            from review_recommender_tpu.ops.dense import (
+                slice_corpus_for_striped_int8,
+            )
+
+            (self.arrays["emb_qs"], self.arrays["emb_scale_s"],
+             self.arrays["valid_s"]) = slice_corpus_for_striped_int8(
+                self.arrays["emb_q"], self.arrays["emb_scale"],
+                self.arrays["valid"], self.dense_stripes)
         self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
         self.n_docs = self.products.n_docs
 
@@ -185,6 +194,13 @@ class SearchEngine:
         """f32/bf16 or int8-quantized dense pool, by what the arrays hold;
         pool selection per self.dense_pool (exact top_k | striped)."""
         if "emb_q" in a:
+            if self.dense_pool == "striped" and "emb_qs" in a:
+                from review_recommender_tpu.ops.dense import (
+                    dense_striped_topk_scan_int8,
+                )
+
+                return dense_striped_topk_scan_int8(
+                    a["emb_qs"], a["emb_scale_s"], a["valid_s"], qvec, pool)
             from review_recommender_tpu.ops.dense import dense_scores_int8
 
             sims = dense_scores_int8(a["emb_q"], a["emb_scale"], qvec,

@@ -178,6 +178,54 @@ def dense_topk_int8(emb_q, row_scale, qvec, valid, pool: int):
     return jax.lax.top_k(sims, k)
 
 
+def slice_corpus_for_striped_int8(emb_q, row_scale, valid, stripes: int):
+    """int8 variant of slice_corpus_for_striped: (s, G, D) int8 slices plus
+    (s, G) row scales and validity."""
+    n, d = emb_q.shape
+    g = min(int(stripes), n)
+    s = -(-n // g)
+    pad = s * g - n
+    if pad:
+        emb_q = jnp.pad(emb_q, ((0, pad), (0, 0)))
+        row_scale = jnp.pad(row_scale, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return (emb_q.reshape(s, g, d), row_scale.reshape(s, g),
+            valid.reshape(s, g))
+
+
+def dense_striped_topk_scan_int8(
+    emb_qs: jax.Array, scale_s: jax.Array, valid_s: jax.Array,
+    qvec: jax.Array, pool: int
+) -> tuple[jax.Array, jax.Array]:
+    """int8 fused score+pool scan (see dense_striped_topk_scan): the query
+    quantizes once, each slice does int8 x int8 -> int32 on the MXU and
+    rescales in f32 before folding into the stripe max/argmax carries.
+    Slice reads are half the bf16 scan's."""
+    s, g, _d = emb_qs.shape
+    kk = min(int(pool), g)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qvec)) / 127.0, 1e-12)
+    q_q = jnp.clip(jnp.round(qvec / q_scale), -127, 127).astype(jnp.int8)
+
+    def body(carry, sl):
+        best, best_r, r = carry
+        emb_r, scale_r, valid_r = sl
+        acc = jnp.dot(q_q, emb_r.T, preferred_element_type=jnp.int32)
+        sims = acc.astype(jnp.float32) * (scale_r * q_scale)
+        sims = jnp.where(valid_r, sims, NEG_INF)
+        upd = sims > best
+        best = jnp.where(upd, sims, best)
+        best_r = jnp.where(upd, r, best_r)
+        return (best, best_r, r + jnp.int32(1)), None
+
+    init = (jnp.full((g,), NEG_INF, jnp.float32),
+            jnp.zeros((g,), jnp.int32), jnp.int32(0))
+    (best, best_r, _), _ = jax.lax.scan(
+        body, init, (emb_qs, scale_s, valid_s), unroll=True)
+    top, gi = jax.lax.top_k(best, kk)
+    idx = jnp.take(best_r, gi) * g + gi
+    return top, idx.astype(jnp.int32)
+
+
 def dense_topk_batched(
     emb: jax.Array, qvecs: jax.Array, valid: jax.Array, pool: int
 ) -> tuple[jax.Array, jax.Array]:

@@ -107,6 +107,53 @@ def test_scan_matches_separate_pipeline():
         np.testing.assert_allclose(tb[b], sims_b[ib[b]], atol=1e-5)
 
 
+def test_int8_scan_matches_int8_pipeline():
+    from review_recommender_tpu.ops.dense import (
+        dense_scores_int8,
+        dense_striped_topk_scan_int8,
+        quantize_corpus_int8,
+        slice_corpus_for_striped_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, pool = 500, 32, 12
+    emb_h = rng.standard_normal((n, d)).astype(np.float32)
+    emb_h /= np.linalg.norm(emb_h, axis=1, keepdims=True)
+    valid = jnp.asarray(np.arange(n) < n - 5)
+    q = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    emb_q, scale = quantize_corpus_int8(jnp.asarray(emb_h))
+    sims = np.asarray(dense_scores_int8(emb_q, scale, q, valid))
+
+    qs3, sc3, v3 = slice_corpus_for_striped_int8(emb_q, scale, valid, 64)
+    top, idx = map(np.asarray,
+                   dense_striped_topk_scan_int8(qs3, sc3, v3, q, pool))
+    assert (idx < n - 5).all()
+    np.testing.assert_allclose(top, sims[idx], atol=1e-6)
+    exact_idx = np.argsort(-sims)[:pool]
+    assert len(set(idx.tolist()) & set(exact_idx.tolist())) >= pool - 2
+
+
+def test_engine_int8_striped_mode():
+    from tests.test_engine_parity import make_corpus
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.build import build_bundle_from_products
+    from review_recommender_tpu.ops.fusion import FusionWeights
+
+    products, emb, _r, _re = make_corpus(n=64, dim=32, seed=6)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=32)
+    eng = SearchEngine(bundle, emb_dtype="int8", gate_mode="device",
+                       dense_pool="striped")
+    assert "emb_qs" in eng.arrays
+    qv = np.asarray(emb[3], np.float32)
+    rows, scores = eng.query_fused(qv, products[3]["agg_text"][:30],
+                                   FusionWeights.make(), pool=16, k=5)
+    rows = np.asarray(rows)
+    assert rows.shape == (5,) and np.isfinite(np.asarray(scores)[0])
+    # self-query: the doc itself must be in the pool (stripes >= n: exact)
+    assert 3 in rows.tolist() or np.asarray(scores)[0] > 0
+
+
 def test_engine_striped_uses_scan_path():
     """A striped-mode engine builds the (s, G, D) slices and routes
     _dense_topk through the fused scan."""
