@@ -121,6 +121,9 @@ class WordPieceTokenizer:
         self.sep_id = vocab[SEP]
         self.pad_id = vocab[PAD]
         self.unk_id = vocab[UNK]
+        # MLM masking (train/mlm.py); vocabs without [MASK] fall back to
+        # [UNK] so pretraining still runs
+        self.mask_id = vocab.get(MASK, self.unk_id)
 
     @classmethod
     def from_vocab_file(cls, path: str | Path, lowercase: bool = True):

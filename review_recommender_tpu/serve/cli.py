@@ -287,7 +287,11 @@ def cmd_train(args) -> int:
             cfg_xe, params_xe, tok_xe = xt.cfg, xt.params, xt.tokenizer
         elif mlm_trunk is not None:
             # same trunk dims as the MLM model so the pretrained encoder
-            # grafts in (the recipe that actually works — train/mlm.py)
+            # grafts in (the recipe that actually works — train/mlm.py).
+            # The tokenizer MUST be the hash tokenizer the trunk was
+            # pretrained with — `tok` may be a loaded tower's wordpiece
+            # vocab when EMB_MODEL_DIR is set, which would feed the trunk
+            # ids from a different id space.
             from review_recommender_tpu.train.cross_encoder import (
                 warm_start_from_biencoder,
             )
@@ -301,7 +305,7 @@ def cmd_train(args) -> int:
             )
             _, params_xe = init_crossencoder(cfg_xe, seed=args.seed)
             params_xe = warm_start_from_biencoder(params_xe, mlm_trunk)
-            tok_xe = tok
+            tok_xe = HashTokenizer(vocab_size=args.vocab_size)
         else:
             cfg_xe = BertConfig(
                 vocab_size=args.vocab_size,

@@ -54,6 +54,26 @@ def test_masking_contract():
     assert (masked_ids == tok.mask_id).mean() > 0.5
 
 
+def test_masking_with_wordpiece_vocab():
+    """WordPiece vocabs work in make_mlm_batch: [MASK] id when present,
+    [UNK] fallback when absent."""
+    from review_recommender_tpu.models.tokenizer import WordPieceTokenizer
+
+    words = "[PAD] [UNK] [CLS] [SEP] [MASK] soft yellow socks".split()
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(words)})
+    assert tok.mask_id == 4
+    rng = np.random.default_rng(2)
+    ids, attn, labels, weights = make_mlm_batch(
+        tok, ["soft yellow socks"] * 4, max_len=8, rng=rng, mask_prob=0.5
+    )
+    assert (weights.sum(axis=1) >= 1).all()
+
+    no_mask = WordPieceTokenizer(
+        {w: i for i, w in enumerate("[PAD] [UNK] [CLS] [SEP] soft".split())}
+    )
+    assert no_mask.mask_id == no_mask.unk_id
+
+
 def test_loss_decreases(setup):
     cfg, params, tok, batch = setup
     tr = MLMTrainer(cfg, params, dtype=jnp.float32,
