@@ -109,6 +109,31 @@ class ShardedSearchEngine:
             return jax.device_put(arr, shard)
 
         self.arrays = {k: place(k, v) for k, v in host.items()}
+        if self.dense_pool == "striped" and "emb" in host:
+            # fused score+pool scan on the mesh: each shard's LOCAL
+            # contiguous row block slices to (s_l, Gs, D) with Gs local
+            # strided stripes, so the scan's local index r*Gs+g IS the
+            # local row index — owner locality for the assemble psum is
+            # preserved. Built host-side once: the (s_l, shards*Gs, D)
+            # global layout row-shards to exactly each chip's sliced view.
+            gs = min(max(1, self.dense_stripes // self.n_shards), per)
+            s_l = -(-per // gs)
+            pad_local = s_l * gs - per
+            emb_h = _pad_rows_to(np.asarray(host["emb"]), n_pad)
+            valid_h = _pad_rows_to(np.asarray(host["valid"]), n_pad)
+            d = emb_h.shape[1]
+            e3 = emb_h.reshape(self.n_shards, per, d)
+            v3 = valid_h.reshape(self.n_shards, per)
+            if pad_local:
+                e3 = np.pad(e3, ((0, 0), (0, pad_local), (0, 0)))
+                v3 = np.pad(v3, ((0, 0), (0, pad_local)))
+            e3 = (e3.reshape(self.n_shards, s_l, gs, d)
+                  .transpose(1, 0, 2, 3).reshape(s_l, self.n_shards * gs, d))
+            v3 = (v3.reshape(self.n_shards, s_l, gs)
+                  .transpose(1, 0, 2).reshape(s_l, self.n_shards * gs))
+            shard_s = NamedSharding(mesh, P(None, self.axis))
+            self.arrays["emb_s"] = jax.device_put(e3, shard_s)
+            self.arrays["valid_s"] = jax.device_put(v3, shard_s)
         self.avgdl = jnp.float32(prod.avgdl if prod.avgdl else 1.0)
 
         self.rev_arrays = None
@@ -184,6 +209,13 @@ class ShardedSearchEngine:
         return self._fused_block(a, rev, qvec, *feats, w, use_snips,
                                  pool=pool, k=k)
 
+    def _array_specs(self, sh):
+        """Per-array shard_map in_specs: corpus arrays shard on their row
+        axis (`sh`); the striped-scan slices (s_l, shards*Gs, D) shard on
+        their STRIPE axis (axis 1)."""
+        return {n: (P(None, self.axis) if n in ("emb_s", "valid_s") else sh)
+                for n in self.arrays}
+
     def _local_dense_scores(self, a, qvec):
         if "emb_q" in a:
             from review_recommender_tpu.ops.dense import dense_scores_int8
@@ -211,9 +243,23 @@ class ShardedSearchEngine:
         local_n = a["valid"].shape[0]
         offset = jax.lax.axis_index(ax) * local_n
 
-        sims = self._local_dense_scores(a, qvec)
         p_local = min(pool, local_n)
-        l_scores, l_idx = self._local_topk(sims, p_local)
+        if "emb_s" in a:
+            # fused score+pool scan over this shard's local (s_l, Gs, D)
+            # slices — local idx r*Gs+g IS the local row index, so the
+            # owner-locality contract below is unchanged. Padding rows
+            # score -inf; clamp their idx into the local range so a
+            # never-selected pad lane can't alias another shard's rows.
+            from review_recommender_tpu.ops.dense import (
+                dense_striped_topk_scan,
+            )
+
+            l_scores, l_idx = dense_striped_topk_scan(
+                a["emb_s"], a["valid_s"], qvec, p_local)
+            l_idx = jnp.minimum(l_idx, local_n - 1)
+        else:
+            sims = self._local_dense_scores(a, qvec)
+            l_scores, l_idx = self._local_topk(sims, p_local)
         g_idx = l_idx + offset
 
         # allgather the tiny (scores, ids) pairs over ICI; identical merge
@@ -411,7 +457,7 @@ class ShardedSearchEngine:
         if key not in self._compiled:
             ax = self.axis
             sh, rep = P(ax), P()
-            a_specs = {n: sh for n in self.arrays}
+            a_specs = self._array_specs(sh)
             body = functools.partial(self._e2e_block, pool=pool, k=k,
                                      rr_k=rr_k)
             in_specs = (
@@ -498,7 +544,7 @@ class ShardedSearchEngine:
             ax = self.axis
             sh = P(ax)
             rep = P()
-            a_specs = {n: sh for n in self.arrays}
+            a_specs = self._array_specs(sh)
             rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
             body = functools.partial(self._fused_block_packed, pool=pool, k=k)
             in_specs = (a_specs, rev_specs, rep, rep,
@@ -543,7 +589,7 @@ class ShardedSearchEngine:
         if key not in self._compiled:
             ax = self.axis
             sh, rep = P(ax), P()
-            a_specs = {n: sh for n in self.arrays}
+            a_specs = self._array_specs(sh)
             rev_specs = {n: sh for n in self.rev_arrays} if self.rev_arrays else None
 
             def body(a, rev, qvecs, packed, w, snips):

@@ -272,3 +272,63 @@ class TestBatchBucketing:
         keys = [key for key in sharded._compiled if key[0] == "fused_batch"]
         new_batch_keys = len(sharded._compiled) - n_before
         assert new_batch_keys == 1, keys  # ONE bucket-8 program served all
+
+
+class TestShardedStripedScan:
+    """Striped mode on the mesh uses the fused score+pool scan with
+    per-shard local stripes; with stripes >= local rows it is exact, so
+    sharding must not change results vs the exact sharded engine."""
+
+    def test_builds_sliced_arrays(self, bundle):
+        eng = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32",
+                                  dense_pool="striped")
+        assert "emb_s" in eng.arrays and "valid_s" in eng.arrays
+        s_l, total_g, d = eng.arrays["emb_s"].shape
+        assert total_g % 8 == 0 and d == 64
+        assert s_l * total_g >= eng._local_rows * 8
+
+    def test_matches_exact_sharded(self, bundle, sharded):
+        striped = ShardedSearchEngine(bundle, n_shards=8,
+                                      emb_dtype="float32",
+                                      dense_pool="striped")
+        w = FusionWeights.make(w_dense=0.5, w_bm25=0.3, w_rerank=0.0,
+                               w_prior=0.2, w_best=0.0, prior_c=20.0,
+                               min_reviews=8, gate_penalty=0.7)
+        for seed, q in ((3, "wireless headphone"), (7, "yellow sock"),
+                        (13, "kitchen knife steel")):
+            qv = _qvec(seed)
+            r1, s1 = sharded.query_fused(qv, q, w, pool=32, k=8)
+            r2, s2 = striped.query_fused(qv, q, w, pool=32, k=8)
+            np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_matches_single_chip_striped(self, bundle):
+        # both engines' stripes cover every row at this size -> both exact
+        single_striped = SearchEngine(bundle, emb_dtype="float32",
+                                      gate_mode="device",
+                                      dense_pool="striped")
+        mesh_striped = ShardedSearchEngine(bundle, n_shards=8,
+                                           emb_dtype="float32",
+                                           dense_pool="striped")
+        w = FusionWeights.make()
+        qv = _qvec(21)
+        r1, s1 = single_striped.query_fused(qv, "running shoe", w,
+                                            pool=24, k=6)
+        r2, s2 = mesh_striped.query_fused(qv, "running shoe", w,
+                                          pool=24, k=6)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_batched_striped(self, bundle):
+        striped = ShardedSearchEngine(bundle, n_shards=8,
+                                      emb_dtype="float32",
+                                      dense_pool="striped")
+        w = FusionWeights.make()
+        qvs = np.stack([_qvec(s) for s in range(4)])
+        rb, sb = striped.query_fused_batched(
+            qvs, ["yellow sock"] * 4, w, pool=16, k=5)
+        rb, sb = np.asarray(rb), np.asarray(sb)
+        assert rb.shape == (4, 5)
+        assert np.isfinite(sb[:, 0]).all()
