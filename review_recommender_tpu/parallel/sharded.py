@@ -134,6 +134,36 @@ class ShardedSearchEngine:
             shard_s = NamedSharding(mesh, P(None, self.axis))
             self.arrays["emb_s"] = jax.device_put(e3, shard_s)
             self.arrays["valid_s"] = jax.device_put(v3, shard_s)
+        elif self.dense_pool == "striped" and "emb_q" in host:
+            # int8 variant: same per-shard local slicing, plus row scales
+            gs = min(max(1, self.dense_stripes // self.n_shards), per)
+            s_l = -(-per // gs)
+            pad_local = s_l * gs - per
+            emb_h = _pad_rows_to(np.asarray(host["emb_q"]), n_pad)
+            scale_h = _pad_rows_to(np.asarray(host["emb_scale"]), n_pad)
+            valid_h = _pad_rows_to(np.asarray(host["valid"]), n_pad)
+            d = emb_h.shape[1]
+
+            def _slice3(arr, width=None):
+                a3 = arr.reshape((self.n_shards, per)
+                                 + ((width,) if width else ()))
+                if pad_local:
+                    a3 = np.pad(a3, ((0, 0), (0, pad_local))
+                                + (((0, 0),) if width else ()))
+                a3 = a3.reshape((self.n_shards, s_l, gs)
+                                + ((width,) if width else ()))
+                axes = (1, 0, 2, 3) if width else (1, 0, 2)
+                out_shape = ((s_l, self.n_shards * gs, width) if width
+                             else (s_l, self.n_shards * gs))
+                return a3.transpose(axes).reshape(out_shape)
+
+            shard_s = NamedSharding(mesh, P(None, self.axis))
+            self.arrays["emb_qs"] = jax.device_put(_slice3(emb_h, d),
+                                                   shard_s)
+            self.arrays["emb_scale_s"] = jax.device_put(_slice3(scale_h),
+                                                        shard_s)
+            self.arrays["valid_s"] = jax.device_put(_slice3(valid_h),
+                                                    shard_s)
         self.avgdl = jnp.float32(prod.avgdl if prod.avgdl else 1.0)
 
         self.rev_arrays = None
@@ -213,7 +243,8 @@ class ShardedSearchEngine:
         """Per-array shard_map in_specs: corpus arrays shard on their row
         axis (`sh`); the striped-scan slices (s_l, shards*Gs, D) shard on
         their STRIPE axis (axis 1)."""
-        return {n: (P(None, self.axis) if n in ("emb_s", "valid_s") else sh)
+        sliced = ("emb_s", "valid_s", "emb_qs", "emb_scale_s")
+        return {n: (P(None, self.axis) if n in sliced else sh)
                 for n in self.arrays}
 
     def _local_dense_scores(self, a, qvec):
@@ -256,6 +287,14 @@ class ShardedSearchEngine:
 
             l_scores, l_idx = dense_striped_topk_scan(
                 a["emb_s"], a["valid_s"], qvec, p_local)
+            l_idx = jnp.minimum(l_idx, local_n - 1)
+        elif "emb_qs" in a:
+            from review_recommender_tpu.ops.dense import (
+                dense_striped_topk_scan_int8,
+            )
+
+            l_scores, l_idx = dense_striped_topk_scan_int8(
+                a["emb_qs"], a["emb_scale_s"], a["valid_s"], qvec, p_local)
             l_idx = jnp.minimum(l_idx, local_n - 1)
         else:
             sims = self._local_dense_scores(a, qvec)

@@ -321,6 +321,19 @@ class TestShardedStripedScan:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_int8_striped_matches_int8_exact(self, bundle):
+        exact8 = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="int8")
+        striped8 = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="int8",
+                                       dense_pool="striped")
+        assert "emb_qs" in striped8.arrays
+        w = FusionWeights.make()
+        qv = _qvec(31)
+        r1, s1 = exact8.query_fused(qv, "cotton sock", w, pool=24, k=6)
+        r2, s2 = striped8.query_fused(qv, "cotton sock", w, pool=24, k=6)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_batched_striped(self, bundle):
         striped = ShardedSearchEngine(bundle, n_shards=8,
                                       emb_dtype="float32",
