@@ -113,6 +113,36 @@ class TestMicroBatcher:
             engine.query_fused_batched_pw = orig
             batcher.close()
 
+    def test_batcher_over_striped_engine(self):
+        """`rrt serve --dense-pool striped` routes every coalesced batch
+        through the fused scan pool; results must match the exact engine's
+        when the corpus is smaller than the stripe count."""
+        products, emb, reviews, remb = make_corpus(n=48, dim=DIM, seed=3)
+        bundle = build_bundle_from_products(
+            products, emb, reviews=reviews, review_embeddings=remb,
+            pad_multiple=16, doc_terms_cap=64,
+        )
+        striped = SearchEngine(bundle, emb_dtype="float32",
+                               gate_mode="device", dense_pool="striped")
+        exact = SearchEngine(bundle, emb_dtype="float32",
+                             gate_mode="device")
+        batcher = MicroBatcher(striped, window_ms=5.0, max_batch=8)
+        try:
+            batcher.warmup_buckets(k=10, pool=32, dim=DIM)
+            out = batcher.search("yellow cat socks", _qvec(1), DEFAULT_W,
+                                 k=10, pool=32, use_snips=False)
+            from review_recommender_tpu.ops.fusion import FusionWeights
+
+            w = FusionWeights.make(*DEFAULT_W)
+            rows, scores = exact.query_fused(_qvec(1), "yellow cat socks",
+                                             w, pool=32, k=10)
+            rows, scores = np.asarray(rows), np.asarray(scores)
+            want = [exact.products.skus[int(i)]
+                    for i, s in zip(rows, scores) if np.isfinite(s)]
+            assert [r["sku"] for r in out["results"]] == want
+        finally:
+            batcher.close()
+
     def test_mixed_weights_in_one_batch(self, engine):
         batcher = MicroBatcher(engine, window_ms=50.0, max_batch=8)
         weight_sets = [
