@@ -11,6 +11,8 @@ single engine (engine/search.py) behind every entry point.
   rrt audit   --index-dir DIR          (artifact audit; exit code gates deploy)
   rrt health  [--url http://host:port] (liveness probe; exit 0/1)
   rrt bench   --index-dir DIR          (QPS/p50 on the loaded index)
+  rrt train   --index-dir DIR --out D  (domain-adapt towers on the reviews)
+  rrt eval    --index-dir DIR --queries f.jsonl  (IR metrics, method sweep)
 """
 from __future__ import annotations
 
@@ -344,6 +346,62 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """IR-metric evaluation of a live index against judged queries — the
+    reference's evals/run_benchmark.py flow as a production command.
+
+    Queries file: JSONL, one {"query": str, "relevant_skus": [str, ...]}
+    per line (the /eval HTTP endpoint's schema). Runs the four reference
+    method configs (or --method) through run_search and prints the
+    markdown table; --out also writes benchmark_results.json + CSV.
+    """
+    from review_recommender_tpu.evals.benchmark import (
+        format_results_table,
+        run_performance_benchmark,
+        save_benchmark_results,
+    )
+
+    queries = []
+    with open(args.queries, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            queries.append({"id": row.get("id", f"q{len(queries)}"),
+                            "query": row["query"],
+                            "relevant_skus": row["relevant_skus"]})
+    if not queries:
+        print("eval: no queries in file", file=sys.stderr)
+        return 1
+
+    engine = _load_engine(args.index_dir, args.gate_mode, with_rerank=True,
+                          dense_pool=args.dense_pool)
+
+    method_configs = None
+    if args.method:
+        from review_recommender_tpu.evals.queries import BENCHMARK_CONFIGS
+
+        if args.method not in BENCHMARK_CONFIGS:
+            print(f"eval: unknown method {args.method!r} "
+                  f"(have: {sorted(BENCHMARK_CONFIGS)})", file=sys.stderr)
+            return 1
+        method_configs = {args.method: BENCHMARK_CONFIGS[args.method]}
+
+    def search(q, **cfg):
+        df, _s, _d = engine.run_search(q, **cfg)
+        return df
+
+    results = run_performance_benchmark(search, queries,
+                                        method_configs=method_configs,
+                                        warmup=not args.no_warmup)
+    print(format_results_table(results))
+    if args.out:
+        save_benchmark_results(results, args.out)
+        print(f"wrote {args.out}/benchmark_results.json", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="rrt", description="TPU review-recommender framework CLI"
@@ -424,6 +482,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "required for a from-scratch cross-encoder to "
                         "learn at all — see train/mlm.py)")
     t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser(
+        "eval", help="IR metrics over judged queries (JSONL) on an index"
+    )
+    e.add_argument("--index-dir", required=True)
+    e.add_argument("--queries", required=True,
+                   help='JSONL: {"query", "relevant_skus"} per line')
+    e.add_argument("--method", default=None,
+                   help="run one BENCHMARK_CONFIGS method instead of all 4")
+    e.add_argument("--out", default=None,
+                   help="also write benchmark_results.json/CSV here")
+    e.add_argument("--gate-mode", default=None)
+    e.add_argument("--dense-pool", default=None,
+                   choices=[None, "exact", "striped"])
+    e.add_argument("--no-warmup", action="store_true")
+    e.set_defaults(fn=cmd_eval)
     return ap
 
 

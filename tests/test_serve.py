@@ -203,3 +203,38 @@ class TestCLI:
         rc = main(["health", "--url", "http://127.0.0.1:1",
                    "--timeout", "0.5"])
         assert rc == 1
+
+    def test_eval_subcommand(self, bundle, tmp_path, capsys):
+        """rrt eval: judged JSONL -> per-method IR table + saved results.
+        Self-retrieval queries (each query = a doc's own text, judged
+        relevant to itself) must score near-perfect nDCG."""
+        from review_recommender_tpu.serve.cli import main
+
+        save_bundle(bundle, tmp_path / "idx")
+        qf = tmp_path / "queries.jsonl"
+        with open(qf, "w") as f:
+            for i in (1, 5, 9):
+                f.write(json.dumps({
+                    "query": bundle.products.agg_texts[i][:60],
+                    "relevant_skus": [bundle.products.skus[i]],
+                }) + "\n")
+        out_dir = tmp_path / "evals"
+        rc = main(["eval", "--index-dir", str(tmp_path / "idx"),
+                   "--queries", str(qf), "--method", "BM25 Only",
+                   "--out", str(out_dir), "--no-warmup"])
+        assert rc == 0
+        table = capsys.readouterr().out
+        assert "BM25 Only" in table and "NDCG@10" in table
+        saved = json.loads((out_dir / "benchmark_results.json").read_text())
+        assert saved["BM25 Only"]["aggregate"]["ndcg@10"] > 0.6
+
+    def test_eval_subcommand_bad_method(self, bundle, tmp_path):
+        from review_recommender_tpu.serve.cli import main
+
+        save_bundle(bundle, tmp_path / "idx")
+        qf = tmp_path / "q.jsonl"
+        qf.write_text(json.dumps({"query": "x", "relevant_skus": ["y"]})
+                      + "\n")
+        rc = main(["eval", "--index-dir", str(tmp_path / "idx"),
+                   "--queries", str(qf), "--method", "nope"])
+        assert rc == 1
