@@ -121,3 +121,19 @@ class TestE2E:
         np.testing.assert_array_equal(
             loaded.products.doc_token_len, engine.products.doc_token_len
         )
+
+
+def test_e2e_striped_matches_exact(setup):
+    """query_e2e over a striped engine (fused scan pool) must match the
+    exact engine when the corpus is smaller than the stripe count."""
+    engine, be, ce = setup
+    striped = SearchEngine(engine.bundle, emb_dtype="float32",
+                           gate_mode="device", dense_pool="striped")
+    striped.attach_models(be, ce)
+    assert "emb_s" in striped.arrays
+    for q in ("yellow cat socks", "wireless bluetooth headphones"):
+        r1, s1 = engine.query_e2e(q, W, pool=16, k=8, rr_k=6)
+        r2, s2 = striped.query_e2e(q, W, pool=16, k=8, rr_k=6)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-6)
