@@ -12,7 +12,6 @@ import logging
 import re
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)

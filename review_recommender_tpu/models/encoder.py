@@ -11,7 +11,6 @@ f32.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax
