@@ -268,12 +268,43 @@ def main():
     _async_read([engine.query_fused_batched(
         qvecs[:batch], qstrings[:batch], w, pool, k)])
 
-    single_qps = _single_stream_qps(engine, qvecs, qstrings, w, pool, k, n_q)
-    batched_qps = _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q, batch)
+    def _retry(fn, attempts=2, wait_s=10.0):
+        """The tunnel occasionally hangs a readback or throws a transient
+        FAILED_PRECONDITION; one retry keeps the headline measurement (and
+        therefore BENCH_r*.json) alive through a hiccup."""
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception:
+                if i == attempts - 1:
+                    raise
+                time.sleep(wait_s)
+
+    single_qps = _retry(lambda: _single_stream_qps(
+        engine, qvecs, qstrings, w, pool, k, n_q))
+    batched_qps = _retry(lambda: _batched_qps(
+        engine, qvecs, qstrings, w, pool, k, n_q, batch))
+
+    def _guard(name, enabled=True):
+        """Run the decorated section iff enabled; a failing section prints
+        an error tail line instead of killing the bench — the driver must
+        always receive the final headline JSON line."""
+        def deco(fn):
+            if enabled:
+                try:
+                    fn()
+                except Exception as e:
+                    print(json.dumps({
+                        "tail_metric": name,
+                        "error": f"{type(e).__name__}: {e}"[:200],
+                    }))
+            return None
+        return deco
 
     # tail metrics (driver parses only the LAST line; these are evidence
     # lines for every README claim — VERDICT r1 item 3)
-    if big_batch > batch:
+    @_guard("hybrid big batch", big_batch > batch)
+    def _():
         _async_read([engine.query_fused_batched(
             qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
         big_qps = _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q,
@@ -281,7 +312,8 @@ def main():
         print(json.dumps({"tail_metric": f"hybrid bf16 batch={big_batch}",
                           "qps": round(big_qps, 2)}))
 
-    if os.getenv("BENCH_STRIPED", "1") == "1":
+    @_guard("striped pool", os.getenv("BENCH_STRIPED", "1") == "1")
+    def _():
         # DENSE_POOL_MODE=striped: two-stage stripe-max pool replaces the
         # full-corpus lax.top_k (ops/dense.py:striped_topk — exact scores,
         # ~0.99 pool recall at pool=150/8192 stripes)
@@ -311,7 +343,8 @@ def main():
         print(json.dumps(out))
         del engs
 
-    if os.getenv("BENCH_INT8", "1") == "1":
+    @_guard("int8 corpus", os.getenv("BENCH_INT8", "1") == "1")
+    def _():
         eng8 = SearchEngine(IndexBundle(products=pidx), emb_dtype="int8",
                             gate_mode="device")
         _async_read([eng8.query_fused_batched(
@@ -324,7 +357,8 @@ def main():
                           "single_stream_qps": round(single8, 2)}))
         del eng8
 
-    if os.getenv("BENCH_E2E", "1") == "1":
+    @_guard("on-device e2e", os.getenv("BENCH_E2E", "1") == "1")
+    def _():
         e2e_engine = _make_e2e_engine(pidx, dim)
         rr_k = 50
         rows, scores = e2e_engine.query_e2e(qstrings[0], w, pool, k, rr_k=rr_k)
@@ -343,7 +377,8 @@ def main():
             "ms_per_query": round(e2e_ms, 2),
         }))
 
-    if os.getenv("BENCH_PALLAS", "1") == "1":
+    @_guard("pallas BM25", os.getenv("BENCH_PALLAS", "1") == "1")
+    def _():
         import jax
         import jax.numpy as jnp
 
@@ -384,7 +419,8 @@ def main():
                 "speedup": round(xla_ms / pallas_ms, 2),
             }))
 
-    if os.getenv("BENCH_SERVE", "1") == "1":
+    @_guard("live HTTP serve", os.getenv("BENCH_SERVE", "1") == "1")
+    def _():
         # closed-loop concurrent clients against the live HTTP server: the
         # micro-batcher (serve/api.py) coalesces concurrent /search into
         # batched device programs, so concurrent QPS approaches batched QPS
@@ -449,7 +485,8 @@ def main():
         srv.shutdown()
         engine.query_encoder = None
 
-    if os.getenv("BENCH_TRAIN", "1") == "1":
+    @_guard("contrastive train step", os.getenv("BENCH_TRAIN", "1") == "1")
+    def _():
         # contrastive fine-tune throughput on the flagship tower size
         # (bge-small 12L): full train step = both tower forwards + InfoNCE +
         # backward + adamw, one jitted program. The reference has no
@@ -490,7 +527,8 @@ def main():
         }))
         del tr, params_t
 
-    if os.getenv("BENCH_STAGEA", "1") == "1":
+    @_guard("fused stage-A kernel", os.getenv("BENCH_STAGEA", "1") == "1")
+    def _():
         import jax
         import jax.numpy as jnp
 
