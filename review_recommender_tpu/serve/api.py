@@ -183,10 +183,21 @@ class MicroBatcher:
             queries = [r.query for r in reqs] + [reqs[-1].query] * pad
             weights = [r.weights for r in reqs] + [reqs[-1].weights] * pad
             t0 = time.perf_counter()
-            rows, scores, bd = self.engine.query_fused_batched_pw(
-                qvecs, queries, weights, pool, k, use_snips=use_snips
-            )
-            rows, scores, bd = device_fetch(rows, scores, bd)
+            try:
+                rows, scores, bd = self.engine.query_fused_batched_pw(
+                    qvecs, queries, weights, pool, k, use_snips=use_snips
+                )
+                rows, scores, bd = device_fetch(rows, scores, bd)
+            except Exception:
+                # transient device/tunnel hiccups (observed: hung readback,
+                # FAILED_PRECONDITION mid-run) — one retry before failing
+                # every rider in the batch
+                logger.warning("micro-batch device call failed; retrying",
+                               exc_info=True)
+                rows, scores, bd = self.engine.query_fused_batched_pw(
+                    qvecs, queries, weights, pool, k, use_snips=use_snips
+                )
+                rows, scores, bd = device_fetch(rows, scores, bd)
             took = (time.perf_counter() - t0) * 1e3
             self.batches += 1
             self.coalesced += n

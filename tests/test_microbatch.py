@@ -178,6 +178,29 @@ class TestMicroBatcher:
                     for r, s in zip(rows, scores) if np.isfinite(s)]
             assert [x["sku"] for x in outs[i]["results"]] == want
 
+    def test_transient_device_failure_retries_once(self, engine):
+        """One flaky device call must not fail the coalesced riders: the
+        batcher retries once (observed tunnel failure mode)."""
+        batcher = MicroBatcher(engine, window_ms=5.0, max_batch=4)
+        orig = engine.query_fused_batched_pw
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+            return orig(*a, **kw)
+
+        engine.query_fused_batched_pw = flaky
+        try:
+            out = batcher.search("yellow cat socks", _qvec(2), DEFAULT_W,
+                                 k=10, pool=32, use_snips=False)
+            assert len(out["results"]) > 0
+            assert calls["n"] == 2
+        finally:
+            engine.query_fused_batched_pw = orig
+            batcher.close()
+
     def test_close_flushes_pending(self, engine):
         """close() during the collection window flushes waiting requests
         instead of stranding them until the window deadline."""
