@@ -130,7 +130,9 @@ def cmd_health(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    engine = _load_engine(args.index_dir, gate_mode="device", with_models=False)
+    engine = _load_engine(args.index_dir, gate_mode="device",
+                          with_models=False,
+                          dense_pool=getattr(args, "dense_pool", None))
     from review_recommender_tpu.ops.fusion import FusionWeights
 
     dim = engine.products.dim
@@ -455,6 +457,8 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="QPS/p50 on the loaded index")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-queries", type=int, default=64)
+    b.add_argument("--dense-pool", default=None,
+                   choices=[None, "exact", "striped"])
     b.set_defaults(fn=cmd_bench)
 
     t = sub.add_parser(
