@@ -12,6 +12,48 @@ import os
 from pathlib import Path
 
 
+def _load_env_file(path: Path, *, override: bool = False) -> None:
+    """Minimal .env loader (python-dotenv semantics for the simple KEY=VALUE
+    case, which is all the reference's env files use): '#' comments and blank
+    lines skipped, optional 'export ' prefix, single/double quotes stripped,
+    and — like load_dotenv() — existing process env vars are NOT overridden
+    unless override=True."""
+    if not path.is_file():
+        return
+    try:
+        text = path.read_text(encoding="utf-8")
+    except OSError:
+        return
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):]
+        key, _, value = line.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+            value = value[1:-1]
+        if key and (override or key not in os.environ):
+            os.environ[key] = value
+
+
+def load_env_files() -> None:
+    """Layered .env loading before Config reads the environment (parity with
+    the reference's load_dotenv() at import time, /root/reference/
+    config.py:11-16): `.env` first, then `.env.<ENVIRONMENT>` when the
+    process env (or `.env` itself) names an environment. Process env vars
+    always win over file values."""
+    _load_env_file(Path(".env"))
+    env = os.getenv("ENVIRONMENT", "")
+    if env:
+        _load_env_file(Path(f".env.{env.lower()}"))
+
+
+load_env_files()
+
+
 def _env_bool(name: str, default: str = "false") -> bool:
     return os.getenv(name, default).lower() == "true"
 
@@ -118,8 +160,9 @@ class Config:
     # + top-k over stripe maxima, ops/dense.py:striped_topk — ~2x faster
     # stage-A at N=200k; exact scores, ~0.99 pool recall at pool=150).
     DENSE_POOL_MODE = os.getenv("DENSE_POOL_MODE", "exact")
-    # Stripe count for DENSE_POOL_MODE=striped. Pool recall loss is about
-    # pool^2 / (2 * stripes); corpora with n_padded <= stripes are exact.
+    # Stripe count for DENSE_POOL_MODE=striped. Expected pool-recall loss is
+    # about pool / (2 * stripes) — e.g. ~0.9% at pool=150, stripes=8192;
+    # corpora with n_padded <= stripes are exact.
     DENSE_POOL_STRIPES = _env_int("DENSE_POOL_STRIPES", "8192")
     # Cross-request micro-batching (serve/api.py:MicroBatcher): concurrent
     # /search requests within the window coalesce into one batched device

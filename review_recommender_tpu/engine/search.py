@@ -192,15 +192,21 @@ class SearchEngine:
 
     def _dense_topk(self, a, qvec, pool):
         """f32/bf16 or int8-quantized dense pool, by what the arrays hold;
-        pool selection per self.dense_pool (exact top_k | striped)."""
+        pool selection per self.dense_pool (exact top_k | striped). Striped
+        indices are clamped into [0, n_padded): -inf pad lanes can carry
+        stripe-padding row ids past the corpus, and host callers index
+        products.skus with the returned ids (the sharded path clamps the
+        same way, parallel/sharded.py)."""
+        n_hi = self.products.n_padded - 1
         if "emb_q" in a:
             if self.dense_pool == "striped" and "emb_qs" in a:
                 from review_recommender_tpu.ops.dense import (
                     dense_striped_topk_scan_int8,
                 )
 
-                return dense_striped_topk_scan_int8(
+                s, i = dense_striped_topk_scan_int8(
                     a["emb_qs"], a["emb_scale_s"], a["valid_s"], qvec, pool)
+                return s, jnp.minimum(i, n_hi)
             from review_recommender_tpu.ops.dense import dense_scores_int8
 
             sims = dense_scores_int8(a["emb_q"], a["emb_scale"], qvec,
@@ -214,15 +220,17 @@ class SearchEngine:
                     dense_striped_topk_scan,
                 )
 
-                return dense_striped_topk_scan(a["emb_s"], a["valid_s"],
+                s, i = dense_striped_topk_scan(a["emb_s"], a["valid_s"],
                                                qvec, pool)
+                return s, jnp.minimum(i, n_hi)
             from review_recommender_tpu.ops.dense import dense_scores
 
             sims = dense_scores(a["emb"], qvec, a["valid"])
         if self.dense_pool == "striped":
             from review_recommender_tpu.ops.dense import striped_topk
 
-            return striped_topk(sims, pool, self.dense_stripes)
+            s, i = striped_topk(sims, pool, self.dense_stripes)
+            return s, jnp.minimum(i, n_hi)
         k = min(int(pool), sims.shape[-1])
         return jax.lax.top_k(sims, k)
 
@@ -590,6 +598,12 @@ class SearchEngine:
         c = config
         k = c.DEFAULT_K if k is None else int(k)
         rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)
+        # host copy of the gate penalty: the host-gate path needs the float
+        # and fetching w.gate_penalty (a device scalar) back would cost a
+        # full tunnel RTT per query (VERDICT r2 weak #4)
+        gate_pen_h = float(
+            c.DEFAULT_GATE_PENALTY if gate_penalty is None else gate_penalty
+        )
         w = FusionWeights.make(
             c.DEFAULT_W_DENSE if w_dense is None else w_dense,
             c.DEFAULT_W_BM25 if w_bm25 is None else w_bm25,
@@ -685,12 +699,10 @@ class SearchEngine:
 
         # ---- gate ----
         if self.gate_mode == "host":
-            (gate_pen,) = device_fetch(w.gate_penalty)
-            gate_pen = float(gate_pen)
             gate_h = np.ones(P, np.float32)
             for i, text in enumerate(cand_texts):
                 gf, _, _ = calculate_gate_factor(
-                    text[:6000], qf.groups, gate_pen
+                    text[:6000], qf.groups, gate_pen_h
                 )
                 gate_h[i] = gf
             gate = jnp.asarray(gate_h)
@@ -724,7 +736,7 @@ class SearchEngine:
                     best_raw[i] = v
             has_snips = bool((best_raw != 0).any())
             if has_snips:
-                snips = self._snippet_texts(qvec, cand_rows, best_full)
+                snips = self._snippet_texts(qvec, cand_rows)
 
         timer_fuse = timer.stage("fuse")
         timer_fuse.__enter__()
@@ -817,7 +829,7 @@ class SearchEngine:
         return pd.DataFrame(rows), {}, debug
 
     # ---------------------------------------------------------------- snippets
-    def _snippet_texts(self, qvec, cand_rows, best_full) -> Dict[str, dict]:
+    def _snippet_texts(self, qvec, cand_rows) -> Dict[str, dict]:
         """Recover the best snippet text/stars for candidate products
         (host argmax over each product's reviews, CSR-indexed)."""
         out: Dict[str, dict] = {}

@@ -54,7 +54,7 @@ def striped_topk(
     replaces it with a (G, S) max — measured ~0.2 ms — plus a top-k over
     only G stripe maxima. Returned SCORES ARE EXACT; only pool MEMBERSHIP
     is approximate: a true top-pool row is lost iff another pool row lands
-    in its stripe, so expected recall ≈ 1 - pool²/(2G) (~0.99 at pool=150,
+    in its stripe, so expected recall ≈ 1 - pool/(2G) (~0.991 at pool=150,
     G=8192; measured 0.9875 at N=200k). For n <= stripes the stripe size
     is 1 and the result is EXACT. Callers gate this behind
     DENSE_POOL_MODE=striped (config.py) — the default engine path stays
@@ -107,7 +107,7 @@ def dense_striped_topk_scan(
     matmul whose (B, G) result immediately folds into running per-stripe
     max/argmax carries — elementwise selects, no lane reductions, nothing
     corpus-sized ever leaves the compute units. Scores are EXACT; pool
-    membership recall is the striped_topk bound (~1 - pool^2/(2G)).
+    membership recall is the striped_topk bound (~1 - pool/(2G)).
 
     qvec: (D,) — vmap for batches (scan and the matmul batch cleanly).
     Returns (scores (pool,) f32 desc, row indices (pool,) int32 into the

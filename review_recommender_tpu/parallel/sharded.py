@@ -27,6 +27,7 @@ story: ~n x the HBM bandwidth and n x the corpus per slice.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -41,6 +42,8 @@ from review_recommender_tpu.ops.bm25 import bm25_candidate_scores, bm25_full_sco
 from review_recommender_tpu.ops.dense import dense_scores
 from review_recommender_tpu.ops.fusion import FusionWeights, final_topk, fuse_candidates
 from review_recommender_tpu.ops.gate import gate_factors_device
+
+logger = logging.getLogger(__name__)
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "float16": jnp.float16, "int8": jnp.bfloat16}
@@ -92,6 +95,23 @@ class ShardedSearchEngine:
         self.mesh = mesh
         self.n_shards = mesh.shape[self.axis]
 
+        # Per-shard stripe count for DENSE_POOL_MODE=striped. Each shard's
+        # striped pool yields at most `shard_stripes` candidates, so at high
+        # shard counts DENSE_POOL_STRIPES // n_shards can fall below the
+        # requested pool and silently shrink the merged candidate set —
+        # scale it back up to DEFAULT_POOL_SIZE instead (collision rate per
+        # shard then beats the single-chip engine's, which is fine).
+        self._shard_stripes = max(1, self.dense_stripes // self.n_shards)
+        if (self.dense_pool == "striped"
+                and self._shard_stripes < config.DEFAULT_POOL_SIZE):
+            logger.warning(
+                "DENSE_POOL_STRIPES=%d // %d shards = %d < pool %d: raising "
+                "per-shard stripes to %d to preserve the merged pool size",
+                self.dense_stripes, self.n_shards, self._shard_stripes,
+                config.DEFAULT_POOL_SIZE, config.DEFAULT_POOL_SIZE,
+            )
+            self._shard_stripes = config.DEFAULT_POOL_SIZE
+
         # ---- place corpus arrays, re-padding rows to a shard multiple ----
         prod = self.products
         n_pad = prod.n_padded
@@ -116,7 +136,7 @@ class ShardedSearchEngine:
             # local row index — owner locality for the assemble psum is
             # preserved. Built host-side once: the (s_l, shards*Gs, D)
             # global layout row-shards to exactly each chip's sliced view.
-            gs = min(max(1, self.dense_stripes // self.n_shards), per)
+            gs = min(self._shard_stripes, per)
             s_l = -(-per // gs)
             pad_local = s_l * gs - per
             emb_h = _pad_rows_to(np.asarray(host["emb"]), n_pad)
@@ -136,7 +156,7 @@ class ShardedSearchEngine:
             self.arrays["valid_s"] = jax.device_put(v3, shard_s)
         elif self.dense_pool == "striped" and "emb_q" in host:
             # int8 variant: same per-shard local slicing, plus row scales
-            gs = min(max(1, self.dense_stripes // self.n_shards), per)
+            gs = min(self._shard_stripes, per)
             s_l = -(-per // gs)
             pad_local = s_l * gs - per
             emb_h = _pad_rows_to(np.asarray(host["emb_q"]), n_pad)
@@ -262,8 +282,7 @@ class ShardedSearchEngine:
         if self.dense_pool == "striped":
             from review_recommender_tpu.ops.dense import striped_topk
 
-            return striped_topk(
-                sims, k, max(1, self.dense_stripes // self.n_shards))
+            return striped_topk(sims, k, self._shard_stripes)
         return jax.lax.top_k(sims, k)
 
     def _pool_and_assemble(self, a, qvec, pool):

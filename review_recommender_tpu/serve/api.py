@@ -55,6 +55,27 @@ SEARCH_KNOBS = (
 )
 
 
+_TRANSIENT_PATTERNS = (
+    "failed_precondition", "unavailable", "deadline_exceeded", "internal",
+    "connection", "socket", "timed out", "transport", "resource_exhausted",
+)
+
+
+def _is_transient_device_error(e: BaseException) -> bool:
+    """Retryable device/transport hiccup vs deterministic failure. Observed
+    transient classes on the tunneled TPU: hung readbacks surfacing as
+    XlaRuntimeError FAILED_PRECONDITION / UNAVAILABLE, plus plain
+    socket/connection errors. Anything else (bad payload shape -> TypeError/
+    ValueError, compile errors) fails deterministically and retrying only
+    doubles worst-case latency for every rider."""
+    if isinstance(e, (ConnectionError, TimeoutError, OSError)):
+        return True
+    if isinstance(e, RuntimeError):  # incl. jaxlib XlaRuntimeError
+        msg = str(e).lower()
+        return any(p in msg for p in _TRANSIENT_PATTERNS)
+    return False
+
+
 class _Pending:
     __slots__ = ("query", "qvec", "weights", "k", "pool", "use_snips",
                  "event", "result", "error")
@@ -188,10 +209,12 @@ class MicroBatcher:
                     qvecs, queries, weights, pool, k, use_snips=use_snips
                 )
                 rows, scores, bd = device_fetch(rows, scores, bd)
-            except Exception:
+            except Exception as e:
                 # transient device/tunnel hiccups (observed: hung readback,
                 # FAILED_PRECONDITION mid-run) — one retry before failing
-                # every rider in the batch
+                # every rider in the batch; deterministic errors fail fast
+                if not _is_transient_device_error(e):
+                    raise
                 logger.warning("micro-batch device call failed; retrying",
                                exc_info=True)
                 rows, scores, bd = self.engine.query_fused_batched_pw(
@@ -242,8 +265,7 @@ class MicroBatcher:
             )
             # host CSR argmax recovers the displayed snippet text for the
             # RESULT products (the pool-wide dict is a single-query luxury)
-            best = np.zeros(self.engine.products.n_padded, np.float32)
-            snips = self.engine._snippet_texts(req.qvec, result_rows, best)
+            snips = self.engine._snippet_texts(req.qvec, result_rows)
         from review_recommender_tpu.utils.text import (
             build_gate_groups,
             tokenize_query,
@@ -268,6 +290,12 @@ class MicroBatcher:
             },
             "took_ms": round(took_ms, 3),
         }
+
+
+def _env_trace_enabled() -> bool:
+    import os
+
+    return os.getenv("ENABLE_DEBUG_TRACE", "false").lower() == "true"
 
 
 class SearchService:
@@ -469,17 +497,28 @@ class SearchService:
     def trace(self, payload: dict) -> dict:
         """POST /debug/trace: capture a jax.profiler device trace around n
         warm serving queries and return the trace directory (open it with
-        TensorBoard / xprof). ROADMAP round-1 item #7."""
+        TensorBoard / xprof). ROADMAP round-1 item #7.
+
+        Security: the trace directory is ALWAYS derived under LOG_FILE's
+        parent — a client-supplied log_dir would let any caller write
+        profiler files to arbitrary filesystem paths. In production the
+        endpoint is disabled unless ENABLE_DEBUG_TRACE=true (profiling is
+        expensive; an open port would be a trivial resource-exhaustion
+        vector)."""
         from pathlib import Path
 
         from review_recommender_tpu.utils.profiling import device_trace
 
+        if config.is_production() and not _env_trace_enabled():
+            raise ValueError(
+                "/debug/trace is disabled in production "
+                "(set ENABLE_DEBUG_TRACE=true to allow it)"
+            )
         query = str(payload.get("query",
                                 "wireless noise cancelling headphones"))
         n = max(1, min(int(payload.get("n", 8)), 64))
         log_dir = str(
-            payload.get("log_dir")
-            or Path(config.LOG_FILE).parent / "traces"
+            Path(config.LOG_FILE).parent / "traces"
             / time.strftime("%Y%m%d-%H%M%S")
         )
         req = {k: payload[k] for k in SEARCH_KNOBS if k in payload}

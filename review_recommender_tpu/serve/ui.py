@@ -75,6 +75,8 @@ code { background:#11131b; padding:1px 5px; border-radius:4px; }
     <span class="knob"><label>w_prior</label><input id="w_prior" type="number" step="0.05" value="0.20"></span>
     <span class="knob"><label>w_best</label><input id="w_best" type="number" step="0.05" value="0.10"></span>
     <span class="knob"><label>gate penalty</label><input id="gate_penalty" type="number" step="0.05" value="0.5"></span>
+    <span class="knob"><label>prior C</label><input id="prior_C" type="number" step="5" value="20"></span>
+    <span class="knob"><label>max scan</label><input id="max_scan" type="number" value="0" title="snippet scan cap: 0 = full device scan, -1 = MAX_REVIEWS_SCAN, >0 = exact host cap"></span>
     <span class="knob"><label>snippets</label><input id="use_snips" type="checkbox"></span>
   </div>
   <div id="out"></div>
@@ -121,7 +123,8 @@ function params() { return {
   k:num('k'), rerank_k:num('rerank_k'), min_reviews:num('min_reviews'),
   w_dense:num('w_dense'), w_bm25:num('w_bm25'), w_rerank:num('w_rerank'),
   w_prior:num('w_prior'), w_best:num('w_best'),
-  gate_penalty:num('gate_penalty'),
+  gate_penalty:num('gate_penalty'), prior_C:num('prior_C'),
+  max_scan:num('max_scan'),
   use_snips:document.getElementById('use_snips').checked }; }
 async function run() {
   const out = document.getElementById('out');

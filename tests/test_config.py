@@ -109,3 +109,51 @@ def test_validate_fails_missing_index_in_production(monkeypatch, tmp_path):
     finally:
         monkeypatch.undo()
         importlib.reload(mod)
+
+
+def test_env_file_loading(monkeypatch, tmp_path):
+    """`.env` in cwd loads at config import (reference config.py:11-16);
+    process env vars win over file values."""
+    import os
+
+    (tmp_path / ".env").write_text(
+        "# comment line\n"
+        "DEFAULT_K=33\n"
+        'APP_TITLE="From Env File"\n'
+        "LOG_LEVEL=debug\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("LOG_LEVEL", "WARNING")  # process env beats the file
+    mod = _fresh_config(monkeypatch)
+    try:
+        assert mod.Config.DEFAULT_K == 33
+        assert mod.Config.APP_TITLE == "From Env File"
+        assert mod.Config.LOG_LEVEL == "WARNING"
+    finally:
+        for k in ("DEFAULT_K", "APP_TITLE"):
+            os.environ.pop(k, None)
+        monkeypatch.undo()
+        importlib.reload(mod)
+
+
+def test_env_file_layering(monkeypatch, tmp_path):
+    """`.env.<ENVIRONMENT>` layers on top of `.env` when ENVIRONMENT names
+    one (the reference ships .env / .env.production side by side)."""
+    import os
+
+    (tmp_path / ".env").write_text("ENVIRONMENT=production\nDEFAULT_K=7\n")
+    (tmp_path / ".env.production").write_text(
+        "APP_PORT=9000\nDEFAULT_K=19\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    mod = _fresh_config(monkeypatch)
+    try:
+        assert mod.Config.ENVIRONMENT == "production"
+        assert mod.Config.APP_PORT == 9000
+        # .env loaded first and is not overridden by the layered file
+        assert mod.Config.DEFAULT_K == 7
+    finally:
+        for k in ("ENVIRONMENT", "DEFAULT_K", "APP_PORT"):
+            os.environ.pop(k, None)
+        monkeypatch.undo()
+        importlib.reload(mod)

@@ -97,14 +97,23 @@ class TestHTTP:
         assert "latency" in body
 
     def test_debug_trace(self, server, tmp_path):
+        # a client-supplied log_dir must be IGNORED (arbitrary-path write
+        # hardening): the trace always lands under LOG_FILE's parent
         code, body = _post(server + "/debug/trace", {
             "query": "wireless headphones", "n": 2,
-            "log_dir": str(tmp_path / "trace"),
+            "log_dir": str(tmp_path / "evil"),
         })
         assert code == 200
         assert body["n"] == 2
         assert body["ms_per_query"] > 0
-        assert body["log_dir"].endswith("trace")
+        assert str(tmp_path / "evil") not in body["log_dir"]
+        from pathlib import Path
+
+        from review_recommender_tpu.config import config
+
+        assert Path(body["log_dir"]).is_relative_to(
+            Path(config.LOG_FILE).parent
+        )
 
     def test_ui_page(self, server):
         import urllib.request
