@@ -35,6 +35,7 @@ import pandas as pd
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle
 from review_recommender_tpu.ops.bm25 import bm25_candidate_scores
 
@@ -95,7 +96,7 @@ def encode_query_ids_device(cls_id, sep_id, q_raw, q_len):
     return b_ids, b_mask
 
 
-class SearchEngine:
+class SearchEngine(HostSnippetsMixin):
     def __init__(
         self,
         bundle: IndexBundle,
@@ -151,17 +152,10 @@ class SearchEngine:
         self.n_docs = self.products.n_docs
 
         self.rev_arrays = None
-        self._rev_order = None
-        self._rev_offsets = None
         if self.reviews is not None:
             self.rev_arrays = self.reviews.device_arrays(self.dtype)
-            # host CSR over reviews for snippet-text recovery
-            m = self.reviews.n_reviews_total
-            seg = np.asarray(self.reviews.rev_product[:m])
-            order = np.argsort(seg, kind="stable")
-            counts = np.bincount(seg, minlength=self.n_docs + 1)
-            self._rev_order = order
-            self._rev_offsets = np.concatenate([[0], np.cumsum(counts)])
+        # host CSR over reviews for snippet-text recovery
+        self._build_rev_csr()
 
         self.featurizer = QueryFeaturizer(
             self.products, query_terms_cap=config.QUERY_TERMS_CAP
@@ -828,70 +822,7 @@ class SearchEngine:
         }
         return pd.DataFrame(rows), {}, debug
 
-    # ---------------------------------------------------------------- snippets
-    def _snippet_texts(self, qvec, cand_rows) -> Dict[str, dict]:
-        """Recover the best snippet text/stars for candidate products
-        (host argmax over each product's reviews, CSR-indexed)."""
-        out: Dict[str, dict] = {}
-        m = self.reviews.n_reviews_total
-        E = self.reviews.rev_emb[:m]
-        q = np.asarray(qvec, dtype=np.float32)
-        for row in cand_rows:
-            row = int(row)
-            lo, hi = self._rev_offsets[row], self._rev_offsets[row + 1]
-            if hi <= lo:
-                continue
-            ridx = self._rev_order[lo:hi]
-            sims = E[ridx] @ q
-            j = int(np.argmax(sims))
-            out[self.products.skus[row]] = {
-                "score": float(sims[j]),
-                "text": self.reviews.rev_texts[int(ridx[j])][:600],
-                "stars": float(self.reviews.rev_stars[int(ridx[j])]),
-            }
-        return out
-
-    def _exact_snippets(self, qvec, cand_rows, cap: int):
-        """EXACT reference snippet semantics (app/app_product_search.py:
-        320-361): candidate products' review rows in original file order,
-        truncated at `cap` rows, cosine-scored on host, per-product argmax.
-        Returns ({product_row: best_score}, {sku: snippet dict})."""
-        m = self.reviews.n_reviews_total
-        seg = np.asarray(self.reviews.rev_product[:m])
-        parts = [
-            self._rev_order[self._rev_offsets[int(r)]:
-                            self._rev_offsets[int(r) + 1]]
-            for r in cand_rows
-        ]
-        if not parts:
-            return {}, {}
-        rows = np.concatenate(parts)
-        # _rev_order is a stable sort by product, so each slice is ascending;
-        # a global sort restores original FILE order across products — the
-        # order the reference truncates in (app:334-336)
-        rows = np.sort(rows)[: int(cap)]
-        if rows.size == 0:
-            return {}, {}
-        q = np.asarray(qvec, dtype=np.float32).reshape(-1)
-        sims = (self.reviews.rev_emb[rows] @ q).astype(np.float32)
-        prods = seg[rows]
-        # per-product argmax; ties keep the first row in file order
-        # (pandas idxmax semantics, app:354-361)
-        o = np.lexsort((-sims, prods))
-        firsts = np.ones(len(o), dtype=bool)
-        firsts[1:] = prods[o[1:]] != prods[o[:-1]]
-        scores: Dict[int, float] = {}
-        snips: Dict[str, dict] = {}
-        for w in o[firsts]:
-            prow = int(prods[w])
-            ridx = int(rows[w])
-            scores[prow] = float(sims[w])
-            snips[self.products.skus[prow]] = {
-                "score": float(sims[w]),
-                "text": self.reviews.rev_texts[ridx][:600],
-                "stars": float(self.reviews.rev_stars[ridx]),
-            }
-        return scores, snips
+    # snippets: _snippet_texts / _exact_snippets provided by HostSnippetsMixin
 
     # ------------------------------------------------- standalone retrieval
     def search_dense(self, qvec, k: int):

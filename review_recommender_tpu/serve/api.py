@@ -639,7 +639,10 @@ def serve(engine, host: Optional[str] = None, port: Optional[int] = None,
         daemon_threads = True
 
     srv = _Server(
-        (host or config.APP_HOST, port or config.APP_PORT),
+        # port=0 is a valid request (ephemeral OS-assigned port), so only
+        # None falls back to the configured port
+        (host or config.APP_HOST,
+         config.APP_PORT if port is None else port),
         make_handler(service),
     )
     srv.service = service  # for tests/introspection

@@ -30,8 +30,13 @@ from review_recommender_tpu.config import config
 
 def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
                  with_models: bool = True, with_rerank: bool = False,
-                 dense_pool: Optional[str] = None):
-    from review_recommender_tpu.engine.search import SearchEngine
+                 dense_pool: Optional[str] = None,
+                 shards: Optional[int] = None):
+    """Build the serving engine: single-chip SearchEngine, or — when
+    `shards` (--shards / MESH_SHARDS) is > 1 — the corpus-sharded
+    ShardedSearchEngine over a `shards`-device mesh. Both expose the same
+    run_search / query_fused_batched_pw surface, so every entry point
+    (CLI, HTTP service, micro-batcher) works over either."""
     from review_recommender_tpu.index.io import load_bundle
 
     bundle = load_bundle(index_dir)
@@ -56,6 +61,24 @@ def _load_engine(index_dir: str, gate_mode: Optional[str] = None,
             from review_recommender_tpu.models.encoder import CrossEncoder
 
             cross = CrossEncoder.random_init()
+    n_shards = config.MESH_SHARDS if shards is None else int(shards)
+    if n_shards > 1:
+        import jax
+
+        from review_recommender_tpu.parallel.sharded import ShardedSearchEngine
+
+        avail = len(jax.devices())
+        if n_shards > avail:
+            print(f"--shards {n_shards} > {avail} available devices; "
+                  f"using {avail}", file=sys.stderr)
+            n_shards = avail
+        return ShardedSearchEngine(
+            bundle, n_shards=n_shards, query_encoder=encoder,
+            cross_encoder=cross, gate_mode=gate_mode,
+            dense_pool=dense_pool,
+        )
+    from review_recommender_tpu.engine.search import SearchEngine
+
     return SearchEngine(bundle, query_encoder=encoder, cross_encoder=cross,
                         gate_mode=gate_mode, dense_pool=dense_pool)
 
@@ -95,7 +118,7 @@ def cmd_serve(args) -> int:
     config.setup_logging()
     engine = _load_engine(args.index_dir, args.gate_mode,
                           with_rerank=args.with_rerank,
-                          dense_pool=args.dense_pool)
+                          dense_pool=args.dense_pool, shards=args.shards)
     srv = serve(engine, host=args.host, port=args.port, warmup_async=True)
     print(f"serving on http://{args.host}:{args.port} "
           f"(docs={engine.products.n_docs}); warming up in background",
@@ -443,6 +466,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "exact", "striped"])
     v.add_argument("--with-rerank", action="store_true",
                    help="load the cross-encoder for rerank_k>0 requests")
+    v.add_argument("--shards", type=int, default=None,
+                   help="serve over an N-device corpus-sharded mesh "
+                        "(default: MESH_SHARDS env, 1 = single chip)")
     v.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser("audit", help="validate index artifacts")

@@ -127,10 +127,12 @@ class TestFusedSharded:
         q = _qvec(61)
         kwargs = dict(w_dense=0.5, w_bm25=0.3, w_prior=0.2, min_reviews=5,
                       gate_penalty=0.3)
-        # pool must match the single-chip default (max(k, rerank_k, 150),
-        # clipped to the corpus) — min-max statistics are pool-dependent
+        # pool matches the single-chip default automatically now (max(k,
+        # rerank_k, 150), clipped to the corpus) — min-max statistics are
+        # pool-dependent
         df_m, _snips_m, dbg_m = sharded.run_search(
-            "yellow cat socks", q, k=8, pool=150, **kwargs)
+            "yellow cat socks", qvec=q, k=8, rerank_k=0, w_rerank=0.0,
+            w_best=0.0, prior_C=20.0, **kwargs)
         assert dbg_m["n_shards"] == sharded.n_shards
         df_s, _snips, _dbg = single.run_search(
             "yellow cat socks", qvec=q, k=8, rerank_k=0, w_rerank=0.0,
