@@ -163,6 +163,28 @@ def _single_stream_qps(engine, qvecs, qstrings, w, pool, k, n_q,
     return n_q / (time.perf_counter() - t0)
 
 
+def _request_response_latency(engine, qvecs, qstrings, w, pool, k, n_q):
+    """HONEST request-response latency: one query dispatched, fully blocked
+    and materialized on host before the next is issued — no pipelining, no
+    chunked readback (the chunked _single_stream_qps overlaps dispatches and
+    reads; its number is closed-loop-with-pipelining throughput, not
+    latency). Returns (qps, p50_ms, p99_ms) over per-query wall times.
+    BASELINE.md names p50 a co-headline metric; this is the number it means.
+    """
+    lat = []
+    for qi in range(n_q):
+        t0 = time.perf_counter()
+        out = engine.query_fused1(qvecs[qi], qstrings[qi], w, pool, k)
+        engine.split_fused1(np.asarray(out))  # full host materialization
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    return (
+        len(lat) / (np.sum(lat_ms) / 1e3),
+        float(np.percentile(lat_ms, 50)),
+        float(np.percentile(lat_ms, 99)),
+    )
+
+
 def _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q, batch,
                  reps: int = 2) -> float:
     t0 = time.perf_counter()
@@ -284,6 +306,18 @@ def main():
         engine, qvecs, qstrings, w, pool, k, n_q))
     batched_qps = _retry(lambda: _batched_qps(
         engine, qvecs, qstrings, w, pool, k, n_q, batch))
+    # honest request-response latency (no pipelining) — p50/p99 for the
+    # driver tail (VERDICT r2 item 6); fewer queries, each pays full RTT
+    n_rr = min(n_q, int(os.getenv("BENCH_RR_QUERIES", "64")))
+    rr_qps, rr_p50, rr_p99 = _retry(lambda: _request_response_latency(
+        engine, qvecs, qstrings, w, pool, k, n_rr))
+    print(json.dumps({
+        "tail_metric": ("single-stream request-response latency "
+                        "(no pipelining, full block+read per query)"),
+        "qps": round(rr_qps, 2),
+        "p50_ms": round(rr_p50, 3),
+        "p99_ms": round(rr_p99, 3),
+    }))
 
     def _guard(name, enabled=True):
         """Run the decorated section iff enabled; a failing section prints
@@ -445,7 +479,7 @@ def main():
         n_clients = int(os.getenv("BENCH_SERVE_CLIENTS", "64"))
         per_client = int(os.getenv("BENCH_SERVE_REQS", "16"))
 
-        def client(ci, errs):
+        def client(ci, errs, lat=None):
             for i in range(per_client):
                 body = _json.dumps({
                     "query": qstrings[(ci * per_client + i) % len(qstrings)],
@@ -455,15 +489,19 @@ def main():
                     url, data=body,
                     headers={"Content-Type": "application/json"})
                 try:
+                    tq = time.perf_counter()
                     with urllib.request.urlopen(req, timeout=60) as r:
                         r.read()
+                    if lat is not None:
+                        lat.append(time.perf_counter() - tq)
                 except Exception as e:
                     errs.append(f"{type(e).__name__}: {e}"[:120])
 
         # warm: one request per client thread count bucket
         errs = []
+        lat = []  # per-request wall times (list.append is GIL-atomic)
         client(0, errs)
-        threads = [threading.Thread(target=client, args=(ci, errs))
+        threads = [threading.Thread(target=client, args=(ci, errs, lat))
                    for ci in range(n_clients)]
         t0 = time.perf_counter()
         for th in threads:
@@ -474,10 +512,13 @@ def main():
         total = n_clients * per_client
         svc = getattr(srv, "service", None)
         stats = svc.info() if svc is not None else {}
+        lat_ms = np.asarray(lat) * 1e3 if lat else np.zeros(1)
         print(json.dumps({
             "tail_metric": (f"live HTTP /search, {n_clients} concurrent "
                             f"closed-loop clients (single-core host)"),
             "qps": round(total / dt, 2),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
             "errors": len(errs),
             "error_sample": sorted(set(errs))[:3],
             "microbatch": stats.get("microbatch"),
@@ -613,10 +654,13 @@ def main():
         "metric": (f"hybrid search throughput, batch={batch} "
                    f"(N={n_docs}, pool={pool}, k={k}; "
                    f"single-stream {round(single_qps, 1)} q/s, "
+                   f"request-response p50 {round(rr_p50, 1)} ms, "
                    f"CPU-reference {round(cpu_qps, 1)} q/s)"),
         "value": round(batched_qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(batched_qps / cpu_qps, 2),
+        "p50_ms": round(rr_p50, 3),
+        "p99_ms": round(rr_p99, 3),
     }))
 
 

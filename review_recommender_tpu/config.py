@@ -141,7 +141,10 @@ class Config:
     # Device dtype for the corpus embedding matrix. bf16 halves HBM traffic
     # on the N x 384 matmul which is the dominant per-query cost.
     EMB_DTYPE = os.getenv("EMB_DTYPE", "bfloat16")
-    # Max padded unique terms kept per document in the device postings arrays.
+    # Max padded unique terms kept per document in the device postings
+    # arrays. 0 = auto: derive L from the corpus's unique-term P99 at build
+    # time (index/build.py:derive_doc_terms_cap) instead of paying a flat
+    # 512*8 bytes/doc of HBM.
     DOC_TERMS_CAP = _env_int("DOC_TERMS_CAP", "512")
     # Max query terms (padded) for BM25 / gate device kernels.
     QUERY_TERMS_CAP = _env_int("QUERY_TERMS_CAP", "32")
@@ -188,8 +191,8 @@ class Config:
         """Validate configuration and create necessary directories."""
         log_dir = Path(cls.LOG_FILE).parent
         log_dir.mkdir(parents=True, exist_ok=True)
-        if cls.DOC_TERMS_CAP <= 0:
-            raise ValueError("DOC_TERMS_CAP must be positive")
+        if cls.DOC_TERMS_CAP < 0:
+            raise ValueError("DOC_TERMS_CAP must be >= 0 (0 = auto-derive)")
         if cls.QUERY_TERMS_CAP <= 0:
             raise ValueError("QUERY_TERMS_CAP must be positive")
         if cls.GATE_MODE not in ("device", "host"):

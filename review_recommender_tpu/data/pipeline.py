@@ -40,6 +40,17 @@ from review_recommender_tpu.index.schema import IndexBundle
 
 logger = logging.getLogger(__name__)
 
+
+def _resolve_doc_terms_cap(cap):
+    """None -> config.DOC_TERMS_CAP; 0 -> "auto" (P99-derived postings
+    width, index/build.py:derive_doc_terms_cap)."""
+    if cap is None:
+        from review_recommender_tpu.config import config
+
+        cap = config.DOC_TERMS_CAP
+    return cap if cap else "auto"
+
+
 #: globals a legitimate product_bm25.pkl may reference ({skus, corpus,
 #: tokenizer} of builtins, possibly numpy scalars/arrays for skus). pickle
 #: executes arbitrary code via arbitrary find_class, so everything else is
@@ -78,7 +89,7 @@ def build_index_from_reviews(
     *,
     with_snippets: bool = True,
     work_dir: Optional[str | Path] = None,
-    doc_terms_cap: int = 512,
+    doc_terms_cap: Optional[int] = None,  # None -> config.DOC_TERMS_CAP (0 = auto)
     resume: bool = True,
     eager_bm25: bool = True,
 ) -> IndexBundle:
@@ -88,6 +99,7 @@ def build_index_from_reviews(
     (BM25S-style) — query scoring becomes a masked sum."""
     out = Path(out_dir)
     work = Path(work_dir) if work_dir else out / "_work"
+    doc_terms_cap = _resolve_doc_terms_cap(doc_terms_cap)
 
     products = build_products(reviews)
     prod_emb = run_embed_job(
@@ -145,7 +157,7 @@ def import_reference_artifacts(
     bm25_pkl: Optional[str | Path] = None,
     reviews_parquet: Optional[str | Path] = None,
     out_dir: Optional[str | Path] = None,
-    doc_terms_cap: int = 512,
+    doc_terms_cap: Optional[int] = None,  # None -> config.DOC_TERMS_CAP (0 = auto)
 ) -> IndexBundle:
     """Migration path: reference artifact files -> IndexBundle.
 
@@ -162,6 +174,7 @@ def import_reference_artifacts(
     """
     from review_recommender_tpu.index.io import open_artifact
 
+    doc_terms_cap = _resolve_doc_terms_cap(doc_terms_cap)
     with open_artifact(emb_npy) as f:
         emb = np.load(f)
     meta = pd.read_parquet(meta_parquet)

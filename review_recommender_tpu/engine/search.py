@@ -122,6 +122,16 @@ class SearchEngine(HostSnippetsMixin):
         self.query_encoder = query_encoder
         self.cross_encoder = cross_encoder
 
+        # own the HBM budget BEFORE placing anything: the padded postings
+        # alone cost 4 KB/doc at L=512 (~4 GB at N=1M), and discovering
+        # that via a device OOM mid-placement is not a load-time contract
+        from review_recommender_tpu.index.schema import enforce_hbm_fit
+
+        self.hbm_report = enforce_hbm_fit(
+            bundle, self.dtype, quantize_int8=self.int8_mode,
+            striped=(self.dense_pool == "striped"), n_shards=1,
+        )
+
         self.arrays = self.products.device_arrays(
             self.dtype, quantize_int8=self.int8_mode
         )

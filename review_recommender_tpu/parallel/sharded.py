@@ -126,6 +126,16 @@ class ShardedSearchEngine(HostSnippetsMixin):
             )
             self._shard_stripes = config.DEFAULT_POOL_SIZE
 
+        # own the HBM budget BEFORE placing anything (row-sharded arrays
+        # split evenly, so per-device load is total / n_shards)
+        from review_recommender_tpu.index.schema import enforce_hbm_fit
+
+        self.hbm_report = enforce_hbm_fit(
+            bundle, dtype, quantize_int8=self.int8_mode,
+            striped=(self.dense_pool == "striped"),
+            n_shards=self.n_shards,
+        )
+
         # ---- place corpus arrays, re-padding rows to a shard multiple ----
         prod = self.products
         n_pad = prod.n_padded

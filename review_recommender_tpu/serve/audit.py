@@ -112,10 +112,37 @@ def audit_index_dir(index_dir: str | Path, verify_checksums: bool = True) -> Dic
         check("review_meta_alignment", len(r.rev_texts) == m,
               f"texts={len(r.rev_texts)} n={m}")
 
+    # -- device footprint + HBM fit (VERDICT r2 item 5) --
+    from review_recommender_tpu.config import config
+    from review_recommender_tpu.index.schema import check_hbm_fit
+
+    int8 = config.EMB_DTYPE == "int8"
+    dtype = "bfloat16" if int8 else config.EMB_DTYPE
+    fp = bundle.device_footprint(dtype, quantize_int8=int8)
+    total = sum(fp.values())
+    if config.DENSE_POOL_MODE == "striped":
+        total += fp.get("emb", fp.get("emb_q", 0) + fp.get("emb_scale", 0))
+    fit = check_hbm_fit(total, n_shards=max(config.MESH_SHARDS, 1))
+    check("hbm_fit", fit["fits"],
+          f"{fit['per_device_bytes'] / 2**20:.1f} MiB/device"
+          + (f" of {fit['limit_bytes'] / 2**20:.0f} MiB "
+             f"({100 * fit['frac']:.1f}%)" if fit["limit_bytes"]
+             else " (backend reports no memory limit)"))
+
     return {
         "ok": ok,
         "n_docs": p.n_docs,
         "vocab_size": len(p.vocab),
         "has_reviews": bundle.reviews is not None,
+        "device_footprint": {
+            "emb_dtype": config.EMB_DTYPE,
+            "dense_pool_mode": config.DENSE_POOL_MODE,
+            "mesh_shards": config.MESH_SHARDS,
+            "bytes_per_array": {k: int(v) for k, v in
+                                sorted(fp.items(), key=lambda kv: -kv[1])},
+            "total_bytes": int(total),
+            "per_device_bytes": fit["per_device_bytes"],
+            "hbm_limit_bytes": fit["limit_bytes"],
+        },
         "checks": checks,
     }

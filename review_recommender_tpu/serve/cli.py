@@ -261,16 +261,24 @@ def cmd_train(args) -> int:
                          train_cfg=MLMTrainConfig(learning_rate=args.lr,
                                                   seed=args.seed,
                                                   total_steps=args.mlm_steps))
+        ckpt_mlm = out / "mlm_trunk.msgpack"
+        if args.resume and ckpt_mlm.exists():
+            mtr.restore(ckpt_mlm)
+            print(f"mlm: resumed from {ckpt_mlm} at step {mtr.step}",
+                  file=sys.stderr)
         mhist = pretrain_mlm(mtr, prod.agg_texts,
                              HashTokenizer(vocab_size=args.vocab_size),
                              batch_size=args.batch_size,
                              steps=args.mlm_steps, max_len=args.max_len,
-                             seed=args.seed)
-        print(f"mlm pretrain: {args.mlm_steps} steps, masked acc "
-              f"{np.mean([m['masked_acc'] for m in mhist[-100:]]):.3f}",
-              file=sys.stderr)
+                             seed=args.seed,
+                             checkpoint_path=str(ckpt_mlm),
+                             checkpoint_every=args.checkpoint_every)
+        if mhist:
+            print(f"mlm pretrain: {len(mhist)} steps (at {mtr.step}/"
+                  f"{args.mlm_steps}), masked acc "
+                  f"{np.mean([m['masked_acc'] for m in mhist[-100:]]):.3f}",
+                  file=sys.stderr)
         mlm_trunk = mtr.params
-        mtr.save(out / "mlm_trunk.msgpack")
 
     tc = TrainConfig(learning_rate=args.lr, seed=args.seed)
     if config.EMB_MODEL_DIR:
@@ -294,12 +302,19 @@ def cmd_train(args) -> int:
 
             params_bi = warm_start_from_biencoder(params_bi, mlm_trunk)
     trainer = ContrastiveTrainer(cfg_bi, params_bi, train_cfg=tc)
+    ckpt_bi = out / "biencoder.ckpt"
+    if args.resume and ckpt_bi.exists():
+        trainer.restore(ckpt_bi)
+        print(f"bi-encoder: resumed from {ckpt_bi} at step {trainer.step}",
+              file=sys.stderr)
     hist = train_biencoder(trainer, pairs, tok, batch_size=args.batch_size,
                            epochs=args.epochs, max_len=args.max_len,
-                           seed=args.seed)
-    print(f"bi-encoder: {len(hist)} steps, final loss "
-          f"{hist[-1]['loss']:.4f} in-batch acc "
-          f"{hist[-1]['in_batch_acc']:.3f}", file=sys.stderr)
+                           seed=args.seed, checkpoint_path=str(ckpt_bi),
+                           checkpoint_every=args.checkpoint_every)
+    if hist:
+        print(f"bi-encoder: {len(hist)} steps, final loss "
+              f"{hist[-1]['loss']:.4f} in-batch acc "
+              f"{hist[-1]['in_batch_acc']:.3f}", file=sys.stderr)
     save_native_tower(out / "biencoder", "biencoder", cfg_bi,
                       trainer.params, tok)
 
@@ -348,13 +363,21 @@ def cmd_train(args) -> int:
             cfg_xe, params_xe,
             train_cfg=CrossTrainConfig(learning_rate=args.lr, seed=args.seed),
         )
+        ckpt_xe = out / "crossencoder.ckpt"
+        if args.resume and ckpt_xe.exists():
+            xtr.restore(ckpt_xe)
+            print(f"cross-encoder: resumed from {ckpt_xe} at step "
+                  f"{xtr.step}", file=sys.stderr)
         xhist = train_crossencoder(xtr, triples, tok_xe,
                                    batch_size=args.batch_size,
                                    epochs=args.epochs,
-                                   max_len=2 * args.max_len, seed=args.seed)
-        print(f"cross-encoder: {len(xhist)} steps, final loss "
-              f"{xhist[-1]['loss']:.4f} acc {xhist[-1]['acc']:.3f}",
-              file=sys.stderr)
+                                   max_len=2 * args.max_len, seed=args.seed,
+                                   checkpoint_path=str(ckpt_xe),
+                                   checkpoint_every=args.checkpoint_every)
+        if xhist:
+            print(f"cross-encoder: {len(xhist)} steps, final loss "
+                  f"{xhist[-1]['loss']:.4f} acc {xhist[-1]['acc']:.3f}",
+                  file=sys.stderr)
         save_native_tower(out / "crossencoder", "crossencoder", cfg_xe,
                           xtr.params, tok_xe)
 
@@ -511,6 +534,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps before fine-tuning (from-scratch towers; "
                         "required for a from-scratch cross-encoder to "
                         "learn at all — see train/mlm.py)")
+    t.add_argument("--resume", action="store_true",
+                   help="restore stage checkpoints from --out and continue "
+                        "(a killed run picks up the exact batch stream)")
+    t.add_argument("--checkpoint-every", type=int, default=200,
+                   help="save each stage's checkpoint every N steps "
+                        "(0 = only at stage end)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser(

@@ -200,22 +200,30 @@ def train_crossencoder(
     max_len: int = 128,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
     log_every: int = 50,
 ):
     """Epoch loop over (query, doc, label) triples; shuffled, fixed pad width
-    (one compiled step). Returns per-step metrics history."""
+    (one compiled step). Resume-aware: skips the first trainer.step batches
+    (identical shuffle stream) so a restored checkpoint continues the
+    killed run; checkpoint_every > 0 saves mid-run every N steps. Returns
+    per-step metrics history."""
     import logging
 
     logger = logging.getLogger(__name__)
     rng = np.random.default_rng(seed)
     history = []
     n = len(triples)
+    produced = 0
     for _ in range(epochs):
         order = rng.permutation(n)
         for lo in range(0, n, batch_size):
             sel = order[lo : lo + batch_size]
             if len(sel) < batch_size:
                 break
+            produced += 1
+            if produced <= trainer.step:
+                continue
             qs = [triples[i][0] for i in sel]
             ds = [triples[i][1] for i in sel]
             ys = [triples[i][2] for i in sel]
@@ -226,6 +234,9 @@ def train_crossencoder(
             if log_every and m["step"] % log_every == 0:
                 logger.info("step %d loss %.4f acc %.3f", m["step"],
                             float(m["loss"]), float(m["acc"]))
+            if (checkpoint_path is not None and checkpoint_every
+                    and m["step"] % checkpoint_every == 0):
+                trainer.save(checkpoint_path)
     history = [{k: v if k == "step" else float(v) for k, v in m.items()}
                for m in history]
     if checkpoint_path is not None:

@@ -111,6 +111,7 @@ def iterate_batches(
     epochs: int = 1,
     drop_remainder: bool = True,
     batch_order_only: bool = False,
+    start_step: int = 0,
 ) -> Iterator[tuple]:
     """Shuffled token batches (q_ids, q_mask, d_ids, d_mask) for the trainer.
     Fixed pad width => one compiled train step.
@@ -121,12 +122,17 @@ def iterate_batches(
     every in-batch negative becomes a HARD negative — the InfoNCE loss then
     teaches document-level discrimination instead of the easy topic-level
     split that a globally shuffled batch asks for.
+
+    start_step skips the first N batches WITHOUT tokenizing them (rng
+    consumption is identical), so a trainer resumed at step N continues the
+    exact batch stream of the killed run.
     """
     from review_recommender_tpu.train.contrastive import make_pair_batch
 
     rng = np.random.default_rng(seed)
     n = len(pairs)
     n_blocks = n // batch_size if drop_remainder else -(-n // batch_size)
+    produced = 0
     for _ in range(epochs):
         if batch_order_only:
             starts = [int(b) * batch_size
@@ -139,6 +145,9 @@ def iterate_batches(
                    if batch_order_only else order[lo : lo + batch_size])
             if drop_remainder and len(sel) < batch_size:
                 break
+            produced += 1
+            if produced <= start_step:
+                continue
             qs = [pairs[i][0] for i in sel]
             ds = [pairs[i][1] for i in sel]
             yield make_pair_batch(tokenizer, qs, ds, max_len=max_len,
@@ -155,18 +164,23 @@ def train_biencoder(
     max_len: int = 128,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
     log_every: int = 50,
     batch_order_only: bool = False,
 ) -> List[dict]:
-    """Epoch loop over mined pairs; checkpoints at each epoch end.
-    Returns the per-step metrics history."""
+    """Epoch loop over mined pairs. Resume-aware: the loop skips the first
+    trainer.step batches (identical shuffle stream), so restoring a
+    checkpoint continues where the killed run stopped. checkpoint_every > 0
+    saves mid-run every N steps; a final save always happens when
+    checkpoint_path is set. Returns the per-step metrics history."""
     import logging
 
     logger = logging.getLogger(__name__)
     history: List[dict] = []
     for batch in iterate_batches(pairs, tokenizer, batch_size,
                                  max_len=max_len, seed=seed, epochs=epochs,
-                                 batch_order_only=batch_order_only):
+                                 batch_order_only=batch_order_only,
+                                 start_step=trainer.step):
         # async steps: metrics materialize only at log points / the end,
         # so training never pays a per-step device sync
         m = trainer.train_step_async(*batch)
@@ -174,6 +188,9 @@ def train_biencoder(
         if log_every and m["step"] % log_every == 0:
             logger.info("step %d loss %.4f acc %.3f", m["step"],
                         float(m["loss"]), float(m["in_batch_acc"]))
+        if (checkpoint_path is not None and checkpoint_every
+                and m["step"] % checkpoint_every == 0):
+            trainer.save(checkpoint_path)
     history = [{k: v if k == "step" else float(v) for k, v in m.items()}
                for m in history]
     if checkpoint_path is not None:

@@ -193,25 +193,36 @@ class MLMTrainer:
 def pretrain_mlm(trainer: MLMTrainer, texts: Sequence[str], tokenizer, *,
                  batch_size: int = 64, steps: int = 1000, max_len: int = 96,
                  seed: int = 0, log_every: int = 100,
-                 checkpoint_path: Optional[str] = None) -> List[dict]:
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0) -> List[dict]:
     """Step-count-driven pretraining loop: each step samples a fresh text
-    batch and fresh mask pattern (epochless, the standard MLM regime)."""
+    batch and fresh mask pattern (epochless, the standard MLM regime).
+
+    Resume-aware: the loop runs from trainer.step to `steps`, and each
+    step's sampling/mask rng is seeded by (seed, step) — so a trainer
+    restored from a mid-run checkpoint continues the EXACT batch stream the
+    killed run would have seen (reference offline-job resume semantics,
+    nlp/11_build_product_embeddings.py:130-147). checkpoint_every > 0
+    saves to checkpoint_path every N steps (atomic write)."""
     import logging
 
     logger = logging.getLogger(__name__)
-    rng = np.random.default_rng(seed)
     history: List[dict] = []
     n = len(texts)
-    for _ in range(steps):
-        sel = rng.integers(n, size=batch_size)
+    for step_i in range(trainer.step, steps):
+        srng = np.random.default_rng((seed, step_i))
+        sel = srng.integers(n, size=batch_size)
         batch = make_mlm_batch(tokenizer, [texts[int(i)] for i in sel],
-                               max_len=max_len, rng=rng,
+                               max_len=max_len, rng=srng,
                                mask_prob=trainer.tc.mask_prob)
         m = trainer.train_step_async(*batch)  # no per-step device sync
         history.append(m)
         if log_every and m["step"] % log_every == 0:
             logger.info("mlm step %d loss %.4f masked_acc %.3f",
                         m["step"], float(m["loss"]), float(m["masked_acc"]))
+        if (checkpoint_path is not None and checkpoint_every
+                and m["step"] % checkpoint_every == 0):
+            trainer.save(checkpoint_path)
     history = [{k: v if k == "step" else float(v) for k, v in m.items()}
                for m in history]
     if checkpoint_path is not None:
