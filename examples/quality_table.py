@@ -52,13 +52,34 @@ def _pseudo_word(rng) -> str:
 
 
 def build_corpus(n_themes: int, per_theme: int, n_queries: int,
-                 family: int = 5, seed: int = 0):
+                 family: int = 5, seed: int = 0, paraphrase: bool = False,
+                 return_meta: bool = False):
+    """Themed corpus with planted anchor families.
+
+    paraphrase=True builds the NON-LEXICAL variant (VERDICT r3 item 4):
+    every vocab word gets a fixed synonym partner, and family variants
+    keep the anchor's tokens REWRITTEN through the synonym map — so the
+    relevance relation (query keywords -> family variants) is invisible to
+    lexical signals (BM25 / BoW dense) and only learnable by a model that
+    captures the synonym structure (e.g. from co-occurrence at MLM time or
+    synonym-augmented contrastive pairs).
+
+    return_meta=True additionally returns {"syn": map, "theme_words": [...]}.
+    """
     rng = np.random.default_rng(seed)
     vocab = sorted({_pseudo_word(rng) for _ in range(3000)})
     theme_words = [
         list(rng.choice(vocab, size=14, replace=False))
         for _ in range(n_themes)
     ]
+    syn = {}
+    if paraphrase:
+        # fixed involutive pairing over the vocab: syn[a]=b, syn[b]=a
+        order = list(rng.permutation(len(vocab)))
+        for i in range(0, len(order) - 1, 2):
+            a, b = vocab[order[i]], vocab[order[i + 1]]
+            syn[a] = b
+            syn[b] = a
 
     products = []
     for t in range(n_themes):
@@ -91,7 +112,12 @@ def build_corpus(n_themes: int, per_theme: int, n_queries: int,
             while victim == int(row) or "V" in products[victim]["sku"]:
                 victim = theme * per_theme + int(rng.integers(per_theme))
             keep = rng.random(len(toks)) < 0.6
-            vtoks = ([t for t, k in zip(toks, keep) if k]
+            kept = [t for t, k in zip(toks, keep) if k]
+            if paraphrase:
+                # the variant expresses the anchor's content in "other
+                # words": every kept token goes through the synonym map
+                kept = [syn.get(t, t) for t in kept]
+            vtoks = (kept
                      + list(rng.choice(theme_words[theme],
                                        size=max(1, (~keep).sum() // 2))))
             rng.shuffle(vtoks)
@@ -106,6 +132,8 @@ def build_corpus(n_themes: int, per_theme: int, n_queries: int,
             "query": " ".join(kw[i] for i in sorted(pick)),
             "relevant_skus": sorted(set(fam)),
         })
+    if return_meta:
+        return products, queries, {"syn": syn, "theme_words": theme_words}
     return products, queries
 
 
