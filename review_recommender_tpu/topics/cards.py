@@ -114,3 +114,48 @@ def generate_topic_cards(
         pace = (time.perf_counter() - t0) / n_new
         df.attrs["pace_s_per_card"] = round(pace, 4)
     return df
+
+
+def benchmark_generator(
+    topics: Sequence[dict],
+    generator: Optional[Callable[[dict], Dict[str, str]]] = None,
+    *,
+    configs: Optional[Dict[str, dict]] = None,
+    n_topics: int = 8,
+    total_topics: Optional[int] = None,
+) -> Dict[str, dict]:
+    """Standalone card-generation throughput benchmark — the archive's
+    LLM-throughput tool (nlp/_archive/test.py:15-35) as a library function:
+    times `generator` over sample topics for each knob config WITHOUT
+    writing any output, and projects an ETA for the full topic set.
+
+    configs: {name: {"n_quotes": int, "max_chars": int}} knob variants
+    (the archive swept quotes/ctx/num_predict); each is applied by
+    truncating the topic's quote list before generation. Returns
+    {config: {s_per_card, cards_per_s, eta_s_for_total, n_sampled}}.
+    """
+    generator = generator or extractive_card
+    configs = configs or {"default": {}}
+    sample = list(topics)[: max(1, n_topics)]
+    total = total_topics if total_topics is not None else len(topics)
+    report: Dict[str, dict] = {}
+    for name, knobs in configs.items():
+        nq = int(knobs.get("n_quotes", 0))
+        mc = int(knobs.get("max_chars", 0))
+        t0 = time.perf_counter()
+        for topic in sample:
+            t = dict(topic)
+            if nq:
+                t["quotes"] = list(t.get("quotes", []))[:nq]
+            if mc:
+                t["quotes"] = [q[:mc] for q in t.get("quotes", [])]
+            generator(t)
+        dt = time.perf_counter() - t0
+        pace = dt / len(sample)
+        report[name] = {
+            "s_per_card": round(pace, 4),
+            "cards_per_s": round(1.0 / pace, 2) if pace > 0 else float("inf"),
+            "eta_s_for_total": round(pace * total, 1),
+            "n_sampled": len(sample),
+        }
+    return report

@@ -146,3 +146,33 @@ class TestCards:
         assert len(df2) == 6 and calls["n"] == 6
         rows = [json.loads(l) for l in out.read_text().splitlines()]
         assert len(rows) == 6
+
+
+class TestThroughputBenchmark:
+    def test_benchmark_generator_report(self):
+        from review_recommender_tpu.topics.cards import benchmark_generator
+
+        topics = [{"topic_id": i, "label": f"t{i}",
+                   "quotes": [f"quote {j} for topic {i}" * 4
+                              for j in range(6)]}
+                  for i in range(20)]
+        seen_quote_counts = []
+
+        def gen(topic):
+            seen_quote_counts.append(len(topic["quotes"]))
+            return {"headline": topic["label"], "summary": "s"}
+
+        report = benchmark_generator(
+            topics, gen, n_topics=4, total_topics=100,
+            configs={"small": {"n_quotes": 2, "max_chars": 30},
+                     "big": {"n_quotes": 6}},
+        )
+        assert set(report) == {"small", "big"}
+        for cfg in report.values():
+            assert cfg["n_sampled"] == 4
+            assert cfg["s_per_card"] >= 0
+            assert cfg["eta_s_for_total"] == pytest.approx(
+                cfg["s_per_card"] * 100, rel=0.01)
+        # knobs actually applied: first 4 calls saw 2 quotes, next 4 saw 6
+        assert seen_quote_counts[:4] == [2, 2, 2, 2]
+        assert seen_quote_counts[4:] == [6, 6, 6, 6]
