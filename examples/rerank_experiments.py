@@ -53,13 +53,37 @@ def mine_training_pairs(train_docs, *, n_pairs, seed):
     return pairs, theme_of
 
 
+def make_family_positives(pos_text, theme_vocab, rng, n_variants=2):
+    """Synthetic near-duplicates of a positive doc built EXACTLY like the
+    corpus's family variants (keep ~60% of tokens, pad with theme words):
+    the relevance relation the rerank must score at eval time. Training
+    positives without these have 5/5 query-keyword coverage while eval
+    family variants have ~3/5 — the distribution mismatch that kept the
+    trained rerank at hybrid parity (measured: every recipe won MRR but
+    lost nDCG@10 before this augmentation)."""
+    toks = pos_text.split()
+    out = []
+    for _ in range(n_variants):
+        keep = rng.random(len(toks)) < 0.6
+        kept = [t for t, k in zip(toks, keep) if k]
+        pad = list(rng.choice(theme_vocab,
+                              size=max(1, int((~keep).sum()) // 2)))
+        v = kept + pad
+        rng.shuffle(v)
+        out.append(" ".join(v))
+    return out
+
+
 def train_ce(products, queries, *, layers, mlm_steps, n_pairs,
              engine_negatives=None, seed=0, hidden=256, epochs_hard=2,
-             lr_mlm=5e-4, lr_ft=1e-4):
+             lr_mlm=5e-4, lr_ft=1e-4, family_positives=0):
     """MLM -> graft -> BCE curriculum cross-encoder.
 
     engine_negatives: optional {query: [doc_text, ...]} map of engine-pool
     hard negatives (top non-relevant retrievals for the training queries).
+    family_positives: add N synthetic near-duplicate positives per pair to
+    the hard stage (see make_family_positives) — also balances the BCE
+    labels (3 pos : 3 neg instead of 1 : 3).
     """
     from collections import defaultdict
 
@@ -135,6 +159,21 @@ def train_ce(products, queries, *, layers, mlm_steps, n_pairs,
 
     hard = mine_triples(pairs, texts, n_negatives=3,
                         hard_negative_fn=hard_fn, seed=seed + 303)
+    if family_positives:
+        fam_rng = np.random.default_rng(seed + 404)
+        by_theme_words = {
+            t: sorted({w for d in docs for w in d.split()})
+            for t, docs in by_theme.items()
+        }
+        extra = []
+        for q, pos in pairs:
+            tv = by_theme_words[theme_of[q]]
+            for v in make_family_positives(pos, tv, fam_rng,
+                                           n_variants=family_positives):
+                extra.append((q, v, 1.0))
+        hard = list(hard) + extra
+        log(f"  +{len(extra)} family-variant positives "
+            f"({len(hard)} hard triples)")
 
     t0 = time.perf_counter()
     _, params_xe = init_crossencoder(cfg, seed=seed)
@@ -272,6 +311,18 @@ def main(argv=None) -> int:
             cross = train_ce(products, queries, layers=4,
                              mlm_steps=args.mlm_steps_big, n_pairs=12288,
                              engine_negatives=engine_negs, seed=args.seed)
+        elif v == "trained-fam":
+            cross = train_ce(products, queries, layers=2, mlm_steps=2000,
+                             n_pairs=8192, seed=args.seed,
+                             family_positives=2)
+        elif v == "trained-fam-eng":
+            pairs, _tm = mine_training_pairs(train_docs, n_pairs=12288,
+                                             seed=args.seed + 101)
+            engine_negs = mine_engine_negatives(base_engine, pairs,
+                                                seed=args.seed)
+            cross = train_ce(products, queries, layers=2, mlm_steps=2000,
+                             n_pairs=12288, engine_negatives=engine_negs,
+                             seed=args.seed, family_positives=2)
         else:
             log(f"unknown variant {v!r}; skipping")
             continue
