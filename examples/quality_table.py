@@ -14,15 +14,22 @@ ceiling and proved nothing):
     own text; exactly the 5 family members are relevant — honest by
     construction (the reference's recycled-ASIN judgments are not), and at
     5-in-51,200 the task is hard enough that the four methods separate.
-  - dense signal: deterministic BoW projection encoder (models/bow.py);
-    rerank: token-F1 overlap cross-scorer. Real (if simple) models, so the
-    table measures the ENGINE's fusion behavior, not mock output.
+  - dense signal: deterministic BoW projection encoder (models/bow.py).
+  - rerank lanes (round-3 rework): the CANONICAL lane (`--lane trained`,
+    default, written to evals_out/) trains the cross-encoder on the corpus
+    itself with eval families held out (build_trained_towers below) — the
+    analog of the reference's table, whose rerank win comes from its
+    ms-marco-TRAINED model (reference README.md:309). The `--lane bow`
+    stand-in (evals_out/bow/) uses the deterministic idf-overlap scorer:
+    zero training, fully reproducible, but it can only re-expose lexical
+    evidence the fusion already has — measured MRR stays pinned at the
+    Hybrid lane's value (models/bow.py docstring has the sweep data).
   - latency columns are warm (each method config is compiled + run once
     before timing), measured around engine.run_search on whatever device
     JAX selects (the tunneled TPU on the bench box).
 
-Run: python examples/quality_table.py [--themes 80] [--per-theme 640]
-     [--queries 60] [--out evals_out]
+Run: python examples/quality_table.py [--lane trained|bow] [--themes 80]
+     [--per-theme 640] [--queries 60] [--out evals_out]
 """
 from __future__ import annotations
 
@@ -300,7 +307,9 @@ def main(argv=None) -> int:
     ap.add_argument("--themes", type=int, default=80)
     ap.add_argument("--per-theme", type=int, default=640)
     ap.add_argument("--queries", type=int, default=60)
-    ap.add_argument("--out", default="evals_out")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default: evals_out for the trained "
+                         "lane, evals_out/bow for the bow lane)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
     ap.add_argument("--dense-pool", default="exact",
@@ -308,12 +317,21 @@ def main(argv=None) -> int:
                     help="striped = 2-stage stripe-max pool "
                          "(DENSE_POOL_MODE) — run both and diff the table "
                          "to see the quality cost of the ~0.99-recall pool")
+    ap.add_argument("--lane", default="trained", choices=["trained", "bow"],
+                    help="trained (default, canonical): MLM-pretrain + "
+                         "fine-tune the rerank cross-encoder on the corpus "
+                         "(eval families held out) — the analog of the "
+                         "reference's table, which uses its real trained "
+                         "models. bow: deterministic idf-overlap stand-in "
+                         "(fast, zero training; rerank can only re-expose "
+                         "lexical evidence, see models/bow.py docstring)")
     ap.add_argument("--trained", action="store_true",
-                    help="MLM-pretrain + fine-tune the rerank cross-encoder "
-                         "on the corpus (eval families held out) instead of "
-                         "the idf-overlap stand-in — the full "
-                         "pretrain->train->serve loop with zero downloads")
+                    help=argparse.SUPPRESS)  # legacy alias for --lane trained
     args = ap.parse_args(argv)
+    if args.trained:
+        args.lane = "trained"
+    if args.out is None:
+        args.out = "evals_out" if args.lane == "trained" else "evals_out/bow"
 
     from review_recommender_tpu.engine.search import SearchEngine
     from review_recommender_tpu.evals.benchmark import (
@@ -334,7 +352,7 @@ def main(argv=None) -> int:
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
     log = lambda *a: print(*a, file=sys.stderr)
-    if args.trained:
+    if args.lane == "trained":
         encoder, cross = build_trained_towers(products, queries,
                                               seed=args.seed, log=log)
     else:

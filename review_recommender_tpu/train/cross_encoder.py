@@ -7,7 +7,7 @@ adapt that model to a new corpus. This module adds the training half for the
 CrossEncoderModel head (models/bert.py): fine-tune (or train from scratch)
 the pair scorer on relevance triples mined from the corpus, so the rerank
 lane can be a *learned* model even in environments where no pretrained
-checkpoint can be downloaded (see examples/quality_table.py --trained).
+checkpoint can be downloaded (see examples/quality_table.py --lane trained).
 
 Loss: binary cross-entropy on the single relevance logit — the standard
 pointwise objective for the BertForSequenceClassification 1-logit layout
