@@ -43,12 +43,34 @@ def log(*a):
 
 def train_biencoder_tower(products, queries, syn, *, seed=0, hidden=256,
                           layers=2, mlm_steps=2000, n_pairs=10240,
-                          epochs=2, augment_synonyms=False):
+                          epochs=2, augment_synonyms=False,
+                          augment_mlm=False, flip_queries=False):
     """MLM-pretrain -> warm-start -> contrastive bi-encoder on the corpus
     (eval families held out). augment_synonyms adds a synonym-flipped copy
     of each positive doc, teaching the tower that syn(w) ≈ w — the
     augmentation a production system would derive from its query logs or
-    a thesaurus; eval documents stay unseen."""
+    a thesaurus; eval documents stay unseen.
+
+    v2 additions (the paraphrase-lane fix): v1's failure mode is that MLM
+    pretraining never sees flipped text — synonym partners only occur in
+    the held-out eval variants, so the trunk has no distributional basis
+    for syn(w) ≈ w and the contrastive stage must learn ~1.5k pairings
+    from ~640 steps alone. augment_mlm adds a fully-flipped copy of every
+    training document to the MLM corpus, making each synonym pair share
+    contexts (the distributional hypothesis does the tying); flip_queries
+    adds the symmetric (flip(q), doc) positives so query-side words also
+    bind to their partners.
+
+    Measured (evals_out/dense_experiments.json, paraphrase corpus, seed 0):
+    v2 lifts contrastive in-batch acc 0.64 -> 0.83 and Dense-Only R@20
+    0.173 -> 0.233 — the ONLY lane above the lexical ceiling (best lexical
+    method: 0.227; lexical retrieval can only ever find the anchor doc,
+    R@20 cap ≈ 1/n_variants). Top-rank metrics stay below BoW (nDCG@10
+    0.419 vs 0.930) because eval queries are verbatim anchor tokens, so
+    exact lexical match keeps a structural advantage at rank 1; the tower's
+    gain is precisely on the synonym-rewritten variants no lexical method
+    can see. Conclusion stands: at 10k-pair scale the trained tower buys
+    recall beyond the lexical ceiling, not top-rank wins."""
     from review_recommender_tpu.models.bert import BertConfig, init_biencoder
     from review_recommender_tpu.models.encoder import BiEncoder
     from review_recommender_tpu.models.tokenizer import HashTokenizer
@@ -75,12 +97,17 @@ def train_biencoder_tower(products, queries, syn, *, seed=0, hidden=256,
                      num_heads=hidden // 64, intermediate_size=2 * hidden,
                      max_position=128)
 
+    mlm_texts = texts
+    if augment_mlm and syn:
+        mlm_texts = texts + [
+            " ".join(syn.get(t, t) for t in d.split()) for d in texts
+        ]
     t0 = time.perf_counter()
     _, mlm_params = init_mlm(cfg, seed=seed)
     mtr = MLMTrainer(cfg, mlm_params,
                      train_cfg=MLMTrainConfig(learning_rate=5e-4, seed=seed,
                                               total_steps=mlm_steps))
-    hist = pretrain_mlm(mtr, texts, tok, batch_size=64, steps=mlm_steps,
+    hist = pretrain_mlm(mtr, mlm_texts, tok, batch_size=64, steps=mlm_steps,
                         max_len=96, seed=seed, log_every=0)
     log(f"  mlm {mlm_steps} steps: masked acc "
         f"{np.mean([m['masked_acc'] for m in hist[-100:]]):.3f} "
@@ -106,6 +133,11 @@ def train_biencoder_tower(products, queries, syn, *, seed=0, hidden=256,
             flipped = [syn.get(t, t) if k else t
                        for t, k in zip(doc_toks, keep)]
             pairs.append((q, " ".join(flipped)))
+            if flip_queries:
+                # symmetric: flipped query against the ORIGINAL doc, so
+                # query-side words bind to their partners too
+                fq = " ".join(syn.get(t, t) for t in q.split())
+                pairs.append((fq, p["agg_text"]))
     log(f"  {len(pairs)} pairs (augment_synonyms={augment_synonyms})")
 
     t0 = time.perf_counter()
@@ -192,6 +224,18 @@ def main(argv=None) -> int:
         )
         eval_dense(products, queries, tower, label=f"{kind}/trained",
                    out=out)
+
+        if kind == "paraphrase":
+            # v2 recipe: synonym-augmented MLM corpus + symmetric query
+            # flips + a longer contrastive stage (see the docstring)
+            log("-- lane: trained-v2")
+            tower2 = train_biencoder_tower(
+                products, queries, meta["syn"], seed=args.seed,
+                mlm_steps=args.mlm_steps, augment_synonyms=True,
+                augment_mlm=True, flip_queries=True, epochs=4,
+            )
+            eval_dense(products, queries, tower2,
+                       label=f"{kind}/trained-v2", out=out)
 
     print(f"\n{'lane':34s}  nDCG@10  MRR@10  R@20")
     for name, a in out.items():
