@@ -257,7 +257,12 @@ def _ensure_native():
 
 
 def main():
+    from review_recommender_tpu.utils.compile_cache import enable_compile_cache
+
     _ensure_native()
+    # cache compiled programs across bench runs (steady-state timings are
+    # measured after warmup, so this cuts wall-clock, not the numbers)
+    enable_compile_cache()
     n_docs = int(os.getenv("BENCH_N_DOCS", "200000"))
     dim = int(os.getenv("BENCH_DIM", "384"))
     n_q = int(os.getenv("BENCH_QUERIES", "256"))

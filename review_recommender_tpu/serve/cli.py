@@ -561,7 +561,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from review_recommender_tpu.utils.compile_cache import enable_compile_cache
+
     args = build_parser().parse_args(argv)
+    # every subcommand that touches the engine compiles jitted programs;
+    # the persistent cache makes repeat cold starts pay seconds, not minutes
+    enable_compile_cache()
     return args.fn(args)
 
 
