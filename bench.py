@@ -517,13 +517,17 @@ def main():
         total = n_clients * per_client
         svc = getattr(srv, "service", None)
         stats = svc.info() if svc is not None else {}
-        lat_ms = np.asarray(lat) * 1e3 if lat else np.zeros(1)
+        # no successful request -> null percentiles (0.0 would read as
+        # "infinitely fast" in cross-round comparisons)
+        lat_ms = np.asarray(lat) * 1e3 if lat else None
         print(json.dumps({
             "tail_metric": (f"live HTTP /search, {n_clients} concurrent "
                             f"closed-loop clients (single-core host)"),
             "qps": round(total / dt, 2),
-            "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
-            "p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+            "p50_ms": (round(float(np.percentile(lat_ms, 50)), 3)
+                       if lat_ms is not None else None),
+            "p99_ms": (round(float(np.percentile(lat_ms, 99)), 3)
+                       if lat_ms is not None else None),
             "errors": len(errs),
             "error_sample": sorted(set(errs))[:3],
             "microbatch": stats.get("microbatch"),

@@ -34,7 +34,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from examples.quality_table import build_corpus  # noqa: E402
+from examples.quality_table import build_corpus, keyword_query  # noqa: E402
 
 
 def log(*a):
@@ -119,11 +119,9 @@ def train_biencoder_tower(products, queries, syn, *, seed=0, hidden=256,
     pairs = []
     for i in sample:
         p = train_docs[int(i)]
-        toks = sorted({t for t in p["agg_text"].split() if len(t) >= 4})
-        if len(toks) < 5:
+        q = keyword_query(rng, p["agg_text"])
+        if q is None:
             continue
-        pick = rng.choice(len(toks), size=5, replace=False)
-        q = " ".join(toks[j] for j in sorted(pick))
         pairs.append((q, p["agg_text"]))
         if augment_synonyms and syn:
             # same query, positive rewritten in "other words" — the exact

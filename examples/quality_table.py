@@ -144,6 +144,21 @@ def build_corpus(n_themes: int, per_theme: int, n_queries: int,
     return products, queries
 
 
+def keyword_query(rng, text):
+    """The 5-keyword training query for a positive doc, mined exactly like
+    the eval queries are built (sorted unique >=4-char tokens, size-5
+    draw, sorted-pick join) — the ONE copy shared by the quality-table,
+    rerank-experiment, and dense-experiment lanes so they all train on the
+    same query distribution. Returns None when the doc has <5 usable
+    tokens. Consumes exactly one rng.choice per usable doc (call order is
+    part of the lanes' reproducibility contract)."""
+    toks = sorted({t for t in text.split() if len(t) >= 4})
+    if len(toks) < 5:
+        return None
+    pick = rng.choice(len(toks), size=5, replace=False)
+    return " ".join(toks[j] for j in sorted(pick))
+
+
 def build_trained_towers(products, queries, *, seed: int = 0,
                          n_pairs: int = 8192, mlm_steps: int = 2000,
                          log=print):
@@ -235,11 +250,9 @@ def build_trained_towers(products, queries, *, seed: int = 0,
     pairs, theme_of = [], {}
     for i in sample:
         p = train_docs[int(i)]
-        toks = sorted({t for t in p["agg_text"].split() if len(t) >= 4})
-        if len(toks) < 5:
+        q = keyword_query(rng, p["agg_text"])
+        if q is None:
             continue
-        pick = rng.choice(len(toks), size=5, replace=False)
-        q = " ".join(toks[j] for j in sorted(pick))
         pairs.append((q, p["agg_text"]))
         theme_of[q] = int(p["sku"][1:4])
 

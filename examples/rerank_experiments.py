@@ -28,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from examples.quality_table import build_corpus  # noqa: E402
+from examples.quality_table import build_corpus, keyword_query  # noqa: E402
 
 
 def log(*a):
@@ -43,11 +43,9 @@ def mine_training_pairs(train_docs, *, n_pairs, seed):
     pairs, theme_of = [], {}
     for i in sample:
         p = train_docs[int(i)]
-        toks = sorted({t for t in p["agg_text"].split() if len(t) >= 4})
-        if len(toks) < 5:
+        q = keyword_query(rng, p["agg_text"])
+        if q is None:
             continue
-        pick = rng.choice(len(toks), size=5, replace=False)
-        q = " ".join(toks[j] for j in sorted(pick))
         pairs.append((q, p["agg_text"]))
         theme_of[q] = int(p["sku"][1:4])
     return pairs, theme_of

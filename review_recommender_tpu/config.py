@@ -14,8 +14,10 @@ from pathlib import Path
 
 def _load_env_file(path: Path, *, override: bool = False) -> None:
     """Minimal .env loader (python-dotenv semantics for the simple KEY=VALUE
-    case, which is all the reference's env files use): '#' comments and blank
-    lines skipped, optional 'export ' prefix, single/double quotes stripped,
+    case, which is all the reference's env files use): '#' comments — full
+    line AND inline on unquoted values (python-dotenv strips ' # ...' from
+    unquoted values; .env.example relies on this) — and blank lines
+    skipped, optional 'export ' prefix, single/double quotes stripped,
     and — like load_dotenv() — existing process env vars are NOT overridden
     unless override=True."""
     if not path.is_file():
@@ -35,6 +37,13 @@ def _load_env_file(path: Path, *, override: bool = False) -> None:
         value = value.strip()
         if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
             value = value[1:-1]
+        else:
+            # unquoted value: an inline comment starts at ' #' (dotenv
+            # semantics — a bare '#' inside a value is kept)
+            for i, ch in enumerate(value):
+                if ch == "#" and (i == 0 or value[i - 1] in " \t"):
+                    value = value[:i].rstrip()
+                    break
         if key and (override or key not in os.environ):
             os.environ[key] = value
 

@@ -228,6 +228,21 @@ class IndexBundle:
         return out
 
 
+def footprint_total(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
+                    quantize_int8: bool = False,
+                    striped: bool = False) -> tuple[Dict[str, int], int]:
+    """(per-array footprint, total bytes) for a bundle under the given
+    engine config — the ONE cost model shared by the load-time refusal
+    (enforce_hbm_fit) and the audit report (serve/audit.py), so the two
+    can never disagree. The striped pool keeps BOTH the flat emb and the
+    (s, G, D) slices, adding ~1 corpus of `emb`."""
+    fp = bundle.device_footprint(emb_dtype, quantize_int8)
+    total = sum(fp.values())
+    if striped:
+        total += fp.get("emb", fp.get("emb_q", 0) + fp.get("emb_scale", 0))
+    return fp, total
+
+
 def device_memory_limit() -> Optional[int]:
     """The backend's per-device memory budget in bytes, or None when the
     runtime doesn't report one (CPU backend, some plugins)."""
@@ -254,12 +269,7 @@ def enforce_hbm_fit(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
     import os
 
     log = logging.getLogger(__name__)
-    fp = bundle.device_footprint(emb_dtype, quantize_int8)
-    total = sum(fp.values())
-    if striped:
-        # striped pool keeps BOTH the flat emb and the (s, G, D) slices
-        total += fp.get("emb",
-                        fp.get("emb_q", 0) + fp.get("emb_scale", 0))
+    fp, total = footprint_total(bundle, emb_dtype, quantize_int8, striped)
     rep = check_hbm_fit(total, n_shards)
     gib = rep["per_device_bytes"] / 2**30
     if not rep["fits"]:

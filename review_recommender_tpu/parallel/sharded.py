@@ -285,7 +285,12 @@ class ShardedSearchEngine(HostSnippetsMixin):
         if self.dense_pool == "striped":
             from review_recommender_tpu.ops.dense import striped_topk
 
-            return striped_topk(sims, k, self._shard_stripes)
+            scores, idx = striped_topk(sims, k, self._shard_stripes)
+            # stripe padding can surface an idx >= local_n on a -inf lane
+            # (same clamp as the scan branches and the single-chip engine,
+            # engine/search.py) — unclamped it would alias the NEXT shard's
+            # rows once the caller adds the shard offset
+            return scores, jnp.minimum(idx, sims.shape[-1] - 1)
         return jax.lax.top_k(sims, k)
 
     def _pool_and_assemble(self, a, qvec, pool):
@@ -968,8 +973,12 @@ class ShardedSearchEngine(HostSnippetsMixin):
         last_ts = self.products.last_ts
 
         # ---- fast path: ONE SPMD fused program ----
+        # same routing condition as the single-chip engine
+        # (engine/search.py:649): use_snips goes down the split path so the
+        # returned snippet dict covers the POOL candidates on both engines,
+        # not just the top-k rows the fused program fetches
         if (self.gate_mode == "device" and not rerank_live
-                and max_scan == 0):
+                and not use_snips_eff and max_scan == 0):
             fn = self._get_fused(pool, k)
             rows, scores, bd = fn(
                 self.arrays, self.rev_arrays,
@@ -1001,11 +1010,6 @@ class ShardedSearchEngine(HostSnippetsMixin):
                     "_final": float(s),
                 })
             df = pd.DataFrame(out)
-            snips = {}
-            if use_snips_eff and len(out):
-                snips = self._snippet_texts(
-                    qvec_h, [int(r) for r in rows[: len(out)]]
-                )
             debug = {
                 "bm25_active": bool(np.any(qf.q_idf > 0)),
                 "tokens": qf.tokens,
@@ -1016,7 +1020,7 @@ class ShardedSearchEngine(HostSnippetsMixin):
                 "n_results": len(out),
                 "fused": True,
             }
-            return df, snips, debug
+            return df, {}, debug
 
         # ---- split path: stage A -> host hooks -> stage B ----
         st = self._get_stage_a(pool)(
@@ -1025,11 +1029,19 @@ class ShardedSearchEngine(HostSnippetsMixin):
             jnp.asarray(qf.group_phrase_mask),
             jnp.asarray(qf.group_term_ids), jnp.asarray(qf.group_valid),
         )
-        names = sorted(st)
-        fetched = device_fetch(*[st[n] for n in names])
-        st = dict(zip(names, fetched))
-        idx = np.asarray(st["idx"])
-        cand_valid_h = np.asarray(st["cand_valid"])
+        # fetch ONLY what the host hooks need (candidate identity, plus the
+        # gate counters in device-gate mode); dense_raw/bm25_raw/n_reviews/
+        # avg_stars stay on device and feed stage-B directly — the
+        # single-chip split path makes the same point at
+        # engine/search.py:_stage_a_impl (each extra sync is a tunnel RTT)
+        if self.gate_mode == "host":
+            idx, cand_valid_h = device_fetch(st["idx"], st["cand_valid"])
+        else:
+            idx, cand_valid_h, gate_hits_h, n_groups_h = device_fetch(
+                st["idx"], st["cand_valid"], st["gate_hits"], st["n_groups"]
+            )
+        idx = np.asarray(idx)
+        cand_valid_h = np.asarray(cand_valid_h)
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
         cand_texts = [self.products.agg_texts[int(i)] for i in cand_rows]
@@ -1061,7 +1073,8 @@ class ShardedSearchEngine(HostSnippetsMixin):
         else:
             gate = np.power(
                 gate_pen_h,
-                (st["n_groups"] - st["gate_hits"]).astype(np.float32),
+                (np.asarray(n_groups_h)
+                 - np.asarray(gate_hits_h)).astype(np.float32),
             ).astype(np.float32)
 
         # snippets
@@ -1088,10 +1101,10 @@ class ShardedSearchEngine(HostSnippetsMixin):
                 snips = self._snippet_texts(qvec_h, cand_rows)
 
         res, scores, pos = self._stage_b_jit()(
-            jnp.asarray(st["dense_raw"]), jnp.asarray(st["bm25_raw"]),
+            st["dense_raw"], st["bm25_raw"],
             jnp.asarray(rerank_raw), jnp.asarray(rerank_mask),
             jnp.asarray(best_raw), jnp.bool_(has_snips),
-            jnp.asarray(st["n_reviews"]), jnp.asarray(st["avg_stars"]),
+            st["n_reviews"], st["avg_stars"],
             jnp.asarray(gate), jnp.asarray(cand_valid_h), w,
             k=min(k, P),
         )

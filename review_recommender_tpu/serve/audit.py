@@ -114,14 +114,17 @@ def audit_index_dir(index_dir: str | Path, verify_checksums: bool = True) -> Dic
 
     # -- device footprint + HBM fit (VERDICT r2 item 5) --
     from review_recommender_tpu.config import config
-    from review_recommender_tpu.index.schema import check_hbm_fit
+    from review_recommender_tpu.index.schema import (
+        check_hbm_fit,
+        footprint_total,
+    )
 
     int8 = config.EMB_DTYPE == "int8"
     dtype = "bfloat16" if int8 else config.EMB_DTYPE
-    fp = bundle.device_footprint(dtype, quantize_int8=int8)
-    total = sum(fp.values())
-    if config.DENSE_POOL_MODE == "striped":
-        total += fp.get("emb", fp.get("emb_q", 0) + fp.get("emb_scale", 0))
+    fp, total = footprint_total(
+        bundle, dtype, quantize_int8=int8,
+        striped=(config.DENSE_POOL_MODE == "striped"),
+    )
     fit = check_hbm_fit(total, n_shards=max(config.MESH_SHARDS, 1))
     check("hbm_fit", fit["fits"],
           f"{fit['per_device_bytes'] / 2**20:.1f} MiB/device"

@@ -137,6 +137,10 @@ def benchmark_generator(
     generator = generator or extractive_card
     configs = configs or {"default": {}}
     sample = list(topics)[: max(1, n_topics)]
+    if not sample:  # empty topic set: an empty report, not a divide-by-zero
+        return {name: {"s_per_card": 0.0, "cards_per_s": 0.0,
+                       "eta_s_for_total": 0.0, "n_sampled": 0}
+                for name in configs}
     total = total_topics if total_topics is not None else len(topics)
     report: Dict[str, dict] = {}
     for name, knobs in configs.items():

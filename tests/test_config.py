@@ -136,6 +136,61 @@ def test_env_file_loading(monkeypatch, tmp_path):
         importlib.reload(mod)
 
 
+def test_env_file_inline_comments(monkeypatch, tmp_path):
+    """Unquoted values strip inline ' # ...' comments (dotenv semantics).
+    Regression: .env.example annotates nearly every line inline, so
+    `cp .env.example .env` must not crash _env_int at config import or
+    corrupt values like GATE_MODE."""
+    import os
+
+    (tmp_path / ".env").write_text(
+        "DEFAULT_K=33         # padded unique terms per doc\n"
+        "GATE_MODE=device          # device | host\n"
+        'APP_TITLE="quoted # not a comment"\n'
+        "LOG_FORMAT=%(message)s#kept   # hash without space-before is kept\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    mod = _fresh_config(monkeypatch)
+    try:
+        assert mod.Config.DEFAULT_K == 33
+        assert mod.Config.GATE_MODE == "device"
+        assert mod.Config.APP_TITLE == "quoted # not a comment"
+        assert mod.Config.LOG_FORMAT == "%(message)s#kept"
+        mod.Config.validate()
+    finally:
+        for k in ("DEFAULT_K", "GATE_MODE", "APP_TITLE", "LOG_FORMAT"):
+            os.environ.pop(k, None)
+        monkeypatch.undo()
+        importlib.reload(mod)
+
+
+def test_env_example_template_is_loadable(monkeypatch, tmp_path):
+    """The SHIPPED .env.example must survive being copied to .env verbatim
+    (the standard setup step DEPLOYMENT.md implies)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent / ".env.example"
+    keys = [
+        ln.split("=", 1)[0] for ln in src.read_text().splitlines()
+        if ln.strip() and not ln.strip().startswith("#") and "=" in ln
+    ]
+    shutil.copy(src, tmp_path / ".env")
+    monkeypatch.chdir(tmp_path)
+    mod = _fresh_config(monkeypatch)  # would raise on int('512  # ...')
+    try:
+        assert mod.Config.GATE_MODE in ("device", "host")
+        assert mod.Config.EMB_DTYPE in (
+            "bfloat16", "float32", "float16", "int8")
+        mod.Config.validate()
+    finally:
+        for k in keys:
+            os.environ.pop(k, None)
+        monkeypatch.undo()
+        importlib.reload(mod)
+
+
 def test_env_file_layering(monkeypatch, tmp_path):
     """`.env.<ENVIRONMENT>` layers on top of `.env` when ENVIRONMENT names
     one (the reference ships .env / .env.production side by side)."""

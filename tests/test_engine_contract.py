@@ -110,8 +110,11 @@ class TestKnobContract:
         df_m, snips_m, dbg_m = sharded.run_search(q, qvec=qv, **payload)
         assert len(df_s) == len(df_m)
         _compare(df_s, df_m)
-        # snippet texts recovered for the same SKUs with the same content
-        if payload.get("use_snips") and payload.get("max_scan"):
+        # snippet texts recovered for the same SKUs with the same content —
+        # including WITHOUT max_scan (regression: the sharded fast path used
+        # to return top-k-only snippets where the single-chip split path
+        # returns the pool-wide dict)
+        if payload.get("use_snips"):
             assert set(snips_s) == set(snips_m)
             for sku in snips_s:
                 assert snips_s[sku]["text"] == snips_m[sku]["text"]

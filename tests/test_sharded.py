@@ -289,6 +289,36 @@ class TestShardedStripedScan:
         assert total_g % 8 == 0 and d == 64
         assert s_l * total_g >= eng._local_rows * 8
 
+    def test_dense_topk_pad_stripe_cannot_alias_next_shard(self, bundle,
+                                                           corpus):
+        """Regression: striped_topk can surface a -inf pad-stripe lane
+        whose local index lands in [local_n, padded); _local_topk must
+        clamp it BEFORE the shard offset is added, or the global id aliases
+        the next shard's rows (and overflows n_padded on the last shard).
+        Forced geometry: local_n=12, stripes=5 -> padded=15, stripe 4 all
+        pad; kl=12 > 5 finite stripes guarantees -inf lanes are selected."""
+        eng = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32",
+                                  dense_pool="striped")
+        eng._shard_stripes = 5
+        eng._compiled.pop(("dense", 96), None)
+        q = _qvec(29)
+        idx, scores = eng.dense_topk(q, k=96)
+        idx, scores = np.asarray(idx), np.asarray(scores)
+        n_padded = eng.products.n_padded
+        assert idx.max() < n_padded
+        # every -inf lane's id must stay inside its OWNING shard's row
+        # range: ids congruent to local row < local_n per shard by
+        # construction, so no finite-scored doc may appear twice either
+        finite = np.isfinite(scores)
+        assert len(set(idx[finite].tolist())) == int(finite.sum())
+        # exact scores on the finite lanes still match the oracle
+        products, emb, *_ = corpus
+        V = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = V @ q
+        for i, s in zip(idx[finite], scores[finite]):
+            if i < len(products):
+                np.testing.assert_allclose(s, sims[i], rtol=1e-5, atol=1e-5)
+
     def test_matches_exact_sharded(self, bundle, sharded):
         striped = ShardedSearchEngine(bundle, n_shards=8,
                                       emb_dtype="float32",
