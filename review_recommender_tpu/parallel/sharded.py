@@ -1045,13 +1045,13 @@ class ShardedSearchEngine(HostSnippetsMixin):
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
         cand_texts = [self.products.agg_texts[int(i)] for i in cand_rows]
-        P = idx.shape[0]
+        n_pool = idx.shape[0]
 
         # cross-encoder rerank (host model call) — single-chip semantics:
         # zero scores still occupy the rerank lanes when the model is
         # missing/disabled (reference app:275,279)
-        rerank_raw = np.zeros(P, np.float32)
-        rerank_mask = np.zeros(P, bool)
+        rerank_raw = np.zeros(n_pool, np.float32)
+        rerank_mask = np.zeros(n_pool, bool)
         if rerank_k > 0:
             rr_k = min(rerank_k, n_cand)
             if rr_k > 0:
@@ -1064,7 +1064,7 @@ class ShardedSearchEngine(HostSnippetsMixin):
 
         # gate
         if self.gate_mode == "host":
-            gate = np.ones(P, np.float32)
+            gate = np.ones(n_pool, np.float32)
             for i, text in enumerate(cand_texts):
                 gf, _, _ = calculate_gate_factor(
                     text[:6000], qf.groups, gate_pen_h
@@ -1078,7 +1078,7 @@ class ShardedSearchEngine(HostSnippetsMixin):
             ).astype(np.float32)
 
         # snippets
-        best_raw = np.zeros(P, np.float32)
+        best_raw = np.zeros(n_pool, np.float32)
         snips = {}
         has_snips = False
         if use_snips_eff and max_scan != 0:
@@ -1106,7 +1106,7 @@ class ShardedSearchEngine(HostSnippetsMixin):
             jnp.asarray(best_raw), jnp.bool_(has_snips),
             st["n_reviews"], st["avg_stars"],
             jnp.asarray(gate), jnp.asarray(cand_valid_h), w,
-            k=min(k, P),
+            k=min(k, n_pool),
         )
         (pos, scores, r_dense, r_bm25, r_rerank, r_prior, r_best, r_trust,
          r_gate) = device_fetch(
