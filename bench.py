@@ -657,6 +657,66 @@ def main():
             }))
             del emb_k, valid_k, terms_k, bm25_k
 
+    @_guard("fused attention", os.getenv("BENCH_ATTN", "1") == "1")
+    def _():
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
+            # Fused Pallas MHA (ops/pallas/attention_kernel.py) vs the XLA
+            # einsum attention at the cross-encoder's rerank shape
+            # (B=64 pairs, S=512, 12 heads of 32): the (S, S) logits stay
+            # in VMEM instead of round-tripping HBM. Timed as a chained
+            # fori_loop INSIDE one program so the tunnel's ~2.5 ms
+            # dispatch floor can't mask the program-level difference.
+            from review_recommender_tpu.ops.pallas.attention_kernel import (
+                mha_pallas,
+                mha_xla,
+            )
+
+            ab, as_, heads, hd = 64, 512, 12, 384
+            r2 = np.random.default_rng(3)
+            mk = lambda: jnp.asarray(
+                r2.standard_normal((ab, as_, hd)), jnp.bfloat16)
+            q0, kk, vv = mk(), mk(), mk()
+            lens = r2.integers(as_ // 2, as_ + 1, size=ab)
+            bias = jnp.asarray(np.where(
+                np.arange(as_)[None, :] < lens[:, None], 0.0, -1e30),
+                jnp.float32)
+
+            res = {}
+            for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
+                @jax.jit
+                def run(q, kq, vq, bq, n, f=f):
+                    body = lambda i, qq: qq + f(
+                        qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
+                    return jax.lax.fori_loop(0, n, body, q)
+
+                jax.block_until_ready(run(q0, kk, vv, bias, 1))
+
+                def timed(n):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(run(q0, kk, vv, bias, n))
+                    return time.perf_counter() - t0
+
+                timed(5)
+                res[name] = (timed(25) - timed(5)) / 20 * 1e3
+            # numerical parity of the two paths on this shape
+            d = np.abs(
+                np.asarray(mha_pallas(q0, kk, vv, bias, heads),
+                           dtype=np.float32)
+                - np.asarray(mha_xla(q0, kk, vv, bias, heads),
+                             dtype=np.float32))
+            print(json.dumps({
+                "tail_metric": ("fused MHA kernel, cross-encoder rerank "
+                                f"shape B={ab} S={as_} (in-program chain)"),
+                "pallas_ms": round(res["pallas"], 3),
+                "xla_ms": round(res["xla"], 3),
+                "speedup": round(res["xla"] / res["pallas"], 2),
+                "max_abs_diff": round(float(d.max()), 4),
+            }))
+            del q0, kk, vv
+
     @_guard("1M-doc scale", os.getenv("BENCH_BIGN", "1") == "1")
     def _():
         # Production-scale evidence: the full hybrid path at N=1M docs on

@@ -167,6 +167,11 @@ class Config:
     MESH_AXIS = os.getenv("MESH_AXIS", "shards")
     # Use Pallas kernels where available ("true") vs plain XLA ops.
     USE_PALLAS = _env_bool("USE_PALLAS", "true")
+    # Tower attention implementation: "auto" (fused Pallas MHA on TPU
+    # backends, XLA einsum elsewhere), "xla", or "pallas". The fused kernel
+    # (ops/pallas/attention_kernel.py) keeps the (S, S) logits in VMEM —
+    # the rerank forward at (64, 512) is bandwidth-bound on that tensor.
+    ATTN_IMPL = os.getenv("ATTN_IMPL", "auto")
     # Dense candidate-pool selection: "exact" (lax.top_k over the corpus
     # axis — the oracle-parity default) or "striped" (two-stage stripe-max
     # + top-k over stripe maxima, ops/dense.py:striped_topk — ~2x faster

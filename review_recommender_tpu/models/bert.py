@@ -63,30 +63,25 @@ class BertConfig:
 class SelfAttention(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype
+    attn_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
 
     @nn.compact
-    def __call__(self, x, attn_bias):
+    def __call__(self, x, key_bias):
+        from review_recommender_tpu.ops.pallas.attention_kernel import (
+            multihead_attention,
+        )
+
         c = self.cfg
-        head_dim = c.hidden_size // c.num_heads
         dense = lambda name: nn.Dense(
             c.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        B, S, H = x.shape
-        split = lambda t: t.reshape(B, S, c.num_heads, head_dim)
-        q = split(dense("query")(x))
-        k = split(dense("key")(x))
-        v = split(dense("value")(x))
-
-        scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        logits = logits + attn_bias  # (B, 1, 1, S) additive mask, f32
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        ctx = ctx.reshape(B, S, H)
+        # key_bias: (B, S) f32 additive mask over key positions. The fused
+        # path (ops/pallas/attention_kernel.py) keeps the (S, S) logits in
+        # VMEM; the XLA path is the identical einsum math.
+        ctx = multihead_attention(
+            dense("query")(x), dense("key")(x), dense("value")(x),
+            key_bias, c.num_heads, impl=self.attn_impl,
+        )
         out = nn.Dense(
             c.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
             name="output_dense",
@@ -97,6 +92,7 @@ class SelfAttention(nn.Module):
 class BertLayer(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, attn_bias):
@@ -105,7 +101,8 @@ class BertLayer(nn.Module):
             epsilon=c.layer_norm_eps, dtype=jnp.float32,
             param_dtype=jnp.float32, name=name,
         )
-        attn_out = SelfAttention(c, self.dtype, name="attention")(x, attn_bias)
+        attn_out = SelfAttention(c, self.dtype, self.attn_impl,
+                                 name="attention")(x, attn_bias)
         x = ln("attention_layer_norm")((x + attn_out).astype(jnp.float32))
         x = x.astype(self.dtype)
 
@@ -133,6 +130,7 @@ class BertEncoder(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -156,14 +154,16 @@ class BertEncoder(nn.Module):
             param_dtype=jnp.float32, name="embeddings_layer_norm",
         )(x).astype(self.dtype)
 
-        # additive attention bias in f32: 0 keep, big-negative drop
+        # additive attention bias in f32 over KEY positions: 0 keep,
+        # big-negative drop. (B, S); heads/query axes broadcast downstream.
         attn_bias = jnp.where(
-            attention_mask[:, None, None, :].astype(bool), 0.0, -1e30
+            attention_mask.astype(bool), 0.0, -1e30
         ).astype(jnp.float32)
 
         layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(c.num_layers):
-            x = layer_cls(c, self.dtype, name=f"layer_{i}")(x, attn_bias)
+            x = layer_cls(c, self.dtype, self.attn_impl,
+                          name=f"layer_{i}")(x, attn_bias)
         return x
 
 
@@ -176,11 +176,12 @@ class BiEncoderModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     pooling: str = "cls"  # "cls" | "mean"
     remat: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
         hidden = BertEncoder(self.cfg, self.dtype, remat=self.remat,
-                             name="encoder")(
+                             attn_impl=self.attn_impl, name="encoder")(
             input_ids, attention_mask, token_type_ids
         ).astype(jnp.float32)
         if self.pooling == "cls":
@@ -200,10 +201,12 @@ class CrossEncoderModel(nn.Module):
 
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
-        hidden = BertEncoder(self.cfg, self.dtype, name="encoder")(
+        hidden = BertEncoder(self.cfg, self.dtype,
+                             attn_impl=self.attn_impl, name="encoder")(
             input_ids, attention_mask, token_type_ids
         ).astype(jnp.float32)
         cls = hidden[:, 0, :]

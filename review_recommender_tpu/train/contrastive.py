@@ -118,8 +118,12 @@ class ContrastiveTrainer:
     ):
         self.cfg = cfg
         self.tc = train_cfg or TrainConfig()
+        # mesh-jitted training pins XLA attention: GSPMD cannot partition a
+        # pallas_call over the tp-sharded head axis (see train/mlm.py note)
         self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling,
-                                    remat=self.tc.remat)
+                                    remat=self.tc.remat,
+                                    attn_impl="xla" if mesh is not None
+                                    else "auto")
         self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),

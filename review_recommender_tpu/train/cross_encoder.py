@@ -61,7 +61,10 @@ class CrossEncoderTrainer:
     ):
         self.cfg = cfg
         self.tc = train_cfg or CrossTrainConfig()
-        self.model = CrossEncoderModel(cfg, dtype=dtype)
+        # mesh-jitted training pins XLA attention (see train/mlm.py note)
+        self.model = CrossEncoderModel(
+            cfg, dtype=dtype, attn_impl="xla" if mesh is not None else "auto"
+        )
         self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),

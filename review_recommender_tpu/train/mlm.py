@@ -43,11 +43,13 @@ class MLMModel(nn.Module):
 
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
         c = self.cfg
-        hidden = BertEncoder(c, self.dtype, name="encoder")(
+        hidden = BertEncoder(c, self.dtype, attn_impl=self.attn_impl,
+                             name="encoder")(
             input_ids, attention_mask, token_type_ids
         ).astype(jnp.float32)
         h = nn.Dense(c.hidden_size, dtype=jnp.float32,
@@ -115,7 +117,11 @@ class MLMTrainer:
                  mesh: Optional[Mesh] = None, dtype=jnp.bfloat16):
         self.cfg = cfg
         self.tc = train_cfg or MLMTrainConfig()
-        self.model = MLMModel(cfg, dtype=dtype)
+        # GSPMD has no partitioning rule for pallas_call: on a tp-sharded
+        # mesh the fused attention kernel would force replication, so
+        # mesh-jitted training pins the XLA einsum path.
+        self.model = MLMModel(cfg, dtype=dtype,
+                              attn_impl="xla" if mesh is not None else "auto")
         self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.tc.max_grad_norm),
