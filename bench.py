@@ -692,11 +692,15 @@ def main():
                         qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
                     return jax.lax.fori_loop(0, n, body, q)
 
-                jax.block_until_ready(run(q0, kk, vv, bias, 1))
+                np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
 
                 def timed(n):
+                    # host readback, not block_until_ready: the tunnel's
+                    # block can return before the computation ran (observed
+                    # for scalar outputs); fetching real values is the only
+                    # reliable fence
                     t0 = time.perf_counter()
-                    jax.block_until_ready(run(q0, kk, vv, bias, n))
+                    np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
                     return time.perf_counter() - t0
 
                 timed(5)

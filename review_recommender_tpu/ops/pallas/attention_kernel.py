@@ -15,6 +15,8 @@ D=32), in-program chained loop so tunnel dispatch can't mask program time:
 S=512 pallas 1.36 ms vs XLA 2.36 ms (1.74x); S=256 pallas 0.67 vs XLA
 0.57 (0.86x — XLA wins when the logits are small). Auto dispatch therefore
 fuses only S >= ATTN_PALLAS_MIN_SEQ (default 512); see _pallas_min_seq.
+Product level: the full 6-layer cross-encoder forward at (64, 512) drops
+18.95 -> 13.99 ms/forward (1.35x), consistent with ~1 ms saved per layer.
 
 Gradients: `multihead_attention` wraps the kernel in a custom_vjp whose
 backward re-runs the XLA einsum path under jax.vjp (rematerialized
