@@ -11,7 +11,7 @@ f32.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,11 @@ from review_recommender_tpu.models.bert import (
     init_biencoder,
     init_crossencoder,
 )
-from review_recommender_tpu.models.tokenizer import encode_batch, pad_bucket
+from review_recommender_tpu.models.tokenizer import (
+    encode_seqs,
+    pack_seqs,
+    pad_bucket,
+)
 
 SEQ_BUCKETS = (16, 32, 64, 128, 256, 512)
 BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
@@ -35,6 +39,18 @@ def _batch_bucket(n: int) -> int:
         if n <= b:
             return b
     return ((n + BATCH_BUCKETS[-1] - 1) // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
+
+
+def _bucketed_chunks(seqs, batch_size: int):
+    """Yield (original_indices, items) chunks with items length-sorted, so
+    each chunk packs to the smallest viable seq bucket instead of one long
+    item forcing the whole batch into the top bucket (the standard
+    sort-by-length serving trick; per-row outputs are order-invariant, and
+    the sort is stable so equal-length items keep their original order)."""
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i][0]))
+    for lo in range(0, len(order), batch_size):
+        sel = order[lo : lo + batch_size]
+        yield sel, [seqs[i] for i in sel]
 
 
 class BiEncoder:
@@ -49,7 +65,9 @@ class BiEncoder:
         equal slice."""
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.max_len = max_len
+        # a sequence longer than the model's position table would gather
+        # out-of-range position embeddings (garbage, not an error)
+        self.max_len = min(max_len, cfg.max_position)
         self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling)
         self.params = params
         self.mesh = mesh
@@ -102,13 +120,15 @@ class BiEncoder:
         return cls.random_init(cfg, seed=seed, **kw)
 
     def encode(self, texts: Sequence[str], batch_size: int = 256) -> np.ndarray:
-        """Encode a list of texts -> (N, H) float32 L2-normalized."""
-        out: List[np.ndarray] = []
-        for lo in range(0, len(texts), batch_size):
-            chunk = list(texts[lo : lo + batch_size])
-            ids, mask, tt = encode_batch(
-                self.tokenizer, chunk, max_len=self.max_len
-            )
+        """Encode a list of texts -> (N, H) float32 L2-normalized.
+        Length-sorted bucketing: short texts ride small seq buckets instead
+        of padding to the longest text in arrival order."""
+        if not len(texts):
+            return np.zeros((0, self.cfg.hidden_size), np.float32)
+        seqs = encode_seqs(self.tokenizer, list(texts), max_len=self.max_len)
+        out = np.zeros((len(texts), self.cfg.hidden_size), np.float32)
+        for sel, chunk in _bucketed_chunks(seqs, batch_size):
+            ids, mask, tt = pack_seqs(self.tokenizer, chunk)
             seq = min(pad_bucket(ids.shape[1], SEQ_BUCKETS), self.max_len)
             bsz = _batch_bucket(len(chunk))
             m = self._batch_multiple
@@ -121,8 +141,8 @@ class BiEncoder:
             mask_p[: len(chunk), :w] = mask[:, :w]
             tt_p[: len(chunk), :w] = tt[:, :w]
             emb = self._fwd(self.params, ids_p, mask_p, tt_p)
-            out.append(np.asarray(emb[: len(chunk)], dtype=np.float32))
-        return np.concatenate(out, axis=0) if out else np.zeros((0, self.cfg.hidden_size), np.float32)
+            out[sel] = np.asarray(emb[: len(chunk)], dtype=np.float32)
+        return out
 
     def __call__(self, text: str) -> np.ndarray:
         """Single-query hook for SearchEngine(query_encoder=...)."""
@@ -136,7 +156,7 @@ class CrossEncoder:
                  dtype=jnp.bfloat16, max_len: int = 512, batch_size: int = 64):
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.max_len = max_len
+        self.max_len = min(max_len, cfg.max_position)  # see BiEncoder note
         self.batch_size = batch_size
         self.model = CrossEncoderModel(cfg, dtype=dtype)
         self.params = params
@@ -156,26 +176,31 @@ class CrossEncoder:
         return cls(cfg, params, tokenizer or HashTokenizer(cfg.vocab_size), **kw)
 
     def score_pairs(self, queries: Sequence[str], docs: Sequence[str]) -> np.ndarray:
+        """Score (query, doc) pairs -> (N,) float32 logits. Length-sorted
+        bucketing: one 2000-char doc no longer drags a whole chunk of short
+        pairs into the S=512 bucket."""
         assert len(queries) == len(docs)
-        out: List[np.ndarray] = []
-        for lo in range(0, len(docs), self.batch_size):
-            q = list(queries[lo : lo + self.batch_size])
-            d = list(docs[lo : lo + self.batch_size])
-            ids, mask, tt = encode_batch(
-                self.tokenizer, q, pairs=d, max_len=self.max_len
-            )
+        if not len(docs):
+            return np.zeros(0, np.float32)
+        seqs = encode_seqs(
+            self.tokenizer, list(queries), pairs=list(docs),
+            max_len=self.max_len,
+        )
+        out = np.zeros(len(docs), np.float32)
+        for sel, chunk in _bucketed_chunks(seqs, self.batch_size):
+            ids, mask, tt = pack_seqs(self.tokenizer, chunk)
             seq = min(pad_bucket(ids.shape[1], SEQ_BUCKETS), self.max_len)
-            bsz = _batch_bucket(len(q))
+            bsz = _batch_bucket(len(chunk))
             ids_p = np.zeros((bsz, seq), np.int32)
             mask_p = np.zeros((bsz, seq), np.int32)
             tt_p = np.zeros((bsz, seq), np.int32)
             w = min(ids.shape[1], seq)
-            ids_p[: len(q), :w] = ids[:, :w]
-            mask_p[: len(q), :w] = mask[:, :w]
-            tt_p[: len(q), :w] = tt[:, :w]
+            ids_p[: len(chunk), :w] = ids[:, :w]
+            mask_p[: len(chunk), :w] = mask[:, :w]
+            tt_p[: len(chunk), :w] = tt[:, :w]
             scores = self._fwd(self.params, ids_p, mask_p, tt_p)
-            out.append(np.asarray(scores[: len(q)], dtype=np.float32))
-        return np.concatenate(out) if out else np.zeros(0, np.float32)
+            out[sel] = np.asarray(scores[: len(chunk)], dtype=np.float32)
+        return out
 
     def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
         """Hook for SearchEngine(cross_encoder=...): one query, many docs.

@@ -172,15 +172,16 @@ class HashTokenizer:
         return [5 + self._fnv1a(t) % span for t in self.tokenize(text)]
 
 
-def encode_batch(
+def encode_seqs(
     tokenizer,
     texts: Sequence[str],
     pairs: Optional[Sequence[str]] = None,
     max_len: int = 512,
-    pad_to: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Encode texts (optionally as (text, pair) cross-encoder inputs) into
-    padded (input_ids, attention_mask, token_type_ids) int32 arrays.
+) -> List[Tuple[List[int], List[int]]]:
+    """Tokenize texts (optionally as (text, pair) cross-encoder inputs) into
+    per-item (ids, token_types) lists — the variable-length stage, split
+    out so callers can length-sort items before packing (models/encoder.py
+    bucketed batching).
 
     Single: [CLS] A [SEP]            types 0...
     Pair:   [CLS] A [SEP] B [SEP]    types 0...0 1...1
@@ -205,7 +206,16 @@ def encode_batch(
             ids = [tokenizer.cls_id] + a + [tokenizer.sep_id]
             types = [0] * len(ids)
         seqs.append((ids, types))
+    return seqs
 
+
+def pack_seqs(
+    tokenizer,
+    seqs: Sequence[Tuple[List[int], List[int]]],
+    pad_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack tokenized (ids, types) items into padded (input_ids,
+    attention_mask, token_type_ids) int32 arrays."""
     longest = max((len(s) for s, _ in seqs), default=1)
     width = pad_to if pad_to is not None else longest
     assert width >= longest, (width, longest)
@@ -219,6 +229,19 @@ def encode_batch(
         attn[i, : len(ids)] = 1
         ttype[i, : len(types)] = types
     return input_ids, attn, ttype
+
+
+def encode_batch(
+    tokenizer,
+    texts: Sequence[str],
+    pairs: Optional[Sequence[str]] = None,
+    max_len: int = 512,
+    pad_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """encode_seqs + pack_seqs in one call (original one-shot interface)."""
+    return pack_seqs(
+        tokenizer, encode_seqs(tokenizer, texts, pairs, max_len), pad_to
+    )
 
 
 def pad_bucket(n: int, buckets: Sequence[int] = (16, 32, 64, 128, 256, 512)) -> int:

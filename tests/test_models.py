@@ -205,3 +205,43 @@ class TestServingWrappers:
         assert pad_bucket(17) == 32
         assert pad_bucket(512) == 512
         assert pad_bucket(9999) == 512
+
+    def test_length_sorted_bucketing_preserves_order(self):
+        """Mixed short/long inputs: results come back in ARRIVAL order and
+        match a homogeneous (single-bucket) encode of the same items."""
+        import jax.numpy as jnp
+
+        from review_recommender_tpu.models.encoder import BiEncoder, CrossEncoder
+
+        be = BiEncoder.random_init(BertConfig.tiny(), seed=0,
+                                   dtype=jnp.float32)
+        long = "wireless noise cancelling headphones " * 20
+        texts = [long, "x", "yellow socks", long + " extra", "b c d"]
+        # batch_size=2 forces multiple chunks; sorting reorders items
+        got = be.encode(texts, batch_size=2)
+        for i, t in enumerate(texts):
+            np.testing.assert_allclose(
+                got[i], be.encode([t])[0], atol=1e-5,
+                err_msg=f"row {i} misaligned after bucketed encode",
+            )
+
+        ce = CrossEncoder.random_init(BertConfig.tiny(), seed=1,
+                                      dtype=jnp.float32, batch_size=2)
+        docs = [long, "tiny", "medium sized doc here", long + " more", "q"]
+        scores = ce.score_pairs(["q"] * 5, docs)
+        for i, d in enumerate(docs):
+            np.testing.assert_allclose(
+                scores[i], ce.score_pairs(["q"], [d])[0], atol=1e-5,
+                err_msg=f"pair {i} misaligned after bucketed scoring",
+            )
+
+    def test_bucketed_chunks_shapes(self):
+        from review_recommender_tpu.models.encoder import _bucketed_chunks
+
+        seqs = [([1] * n, [0] * n) for n in (30, 3, 17, 30, 5)]
+        chunks = list(_bucketed_chunks(seqs, 2))
+        # sorted by length: indices 1(3), 4(5), 2(17), 0(30), 3(30)
+        assert [sel for sel, _ in chunks] == [[1, 4], [2, 0], [3]]
+        # every item appears exactly once
+        flat = [i for sel, _ in chunks for i in sel]
+        assert sorted(flat) == list(range(5))
