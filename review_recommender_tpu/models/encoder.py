@@ -68,7 +68,13 @@ class BiEncoder:
         # a sequence longer than the model's position table would gather
         # out-of-range position embeddings (garbage, not an error)
         self.max_len = min(max_len, cfg.max_position)
-        self.model = BiEncoderModel(cfg, dtype=dtype, pooling=pooling)
+        # mesh encode jobs jit with GSPMD batch shardings, which cannot
+        # partition a pallas_call — pin XLA attention there (same rule as
+        # the mesh trainers, train/mlm.py)
+        self.model = BiEncoderModel(
+            cfg, dtype=dtype, pooling=pooling,
+            attn_impl="xla" if mesh is not None else "auto",
+        )
         self.params = params
         self.mesh = mesh
         if mesh is not None:

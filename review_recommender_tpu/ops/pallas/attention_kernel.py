@@ -154,23 +154,37 @@ def _mha_bwd(num_heads, interpret, res, g):
 _mha_pallas_vjp.defvjp(_mha_fwd, _mha_bwd)
 
 
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform.lower()
+    except Exception:  # pragma: no cover - backend probe failure
+        return "unknown"
+
+
 def resolve_attn_impl(impl: str = "auto") -> str:
-    """'auto' -> 'pallas' on TPU-class backends when USE_PALLAS is on,
-    'xla' otherwise. ATTN_IMPL env overrides everything (serving knob)."""
+    """'auto' -> 'pallas' on TPU platforms when USE_PALLAS is on, 'xla'
+    otherwise (platform ALLOWLIST, matching engine/search.py:_pallas_ok —
+    unknown future backends fall back to XLA, they don't crash into a
+    Mosaic kernel). ATTN_IMPL env overrides everything (serving knob, read
+    live); config.Config.ATTN_IMPL is the .env-layered default beneath it.
+    USE_PALLAS uses config.py's parsing (only "true" enables) so the two
+    Pallas consumers in one process can't disagree about the same var."""
+    from review_recommender_tpu.config import Config, _env_bool
+
     env = os.environ.get("ATTN_IMPL", "").strip().lower()
     if env in ("xla", "pallas"):
         return env
     if impl in ("xla", "pallas"):
         return impl
-    if os.environ.get("USE_PALLAS", "true").strip().lower() in (
-        "0", "false", "no", "off",
-    ):
+    cfg_impl = str(getattr(Config, "ATTN_IMPL", "auto")).strip().lower()
+    if cfg_impl in ("xla", "pallas"):
+        return cfg_impl
+    if not _env_bool("USE_PALLAS", "true"):
         return "xla"
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover - backend probe failure
-        return "xla"
-    return "pallas" if backend not in ("cpu", "gpu") else "xla"
+    return "pallas" if _platform() in _TPU_PLATFORMS else "xla"
 
 
 def _pallas_min_seq() -> int:
@@ -206,8 +220,8 @@ def multihead_attention(q, k, v, key_bias, num_heads: int,
     The pallas path is differentiable via a rematerialized XLA backward.
     """
     if _choose_impl(impl, q.shape[1]) == "pallas":
-        # Forced-pallas on a CPU backend (tests) runs the kernel in
+        # Forced-pallas on a non-TPU platform (tests) runs the kernel in
         # interpret mode; on TPU the compiled kernel runs as-is.
-        interpret = interpret or jax.default_backend() == "cpu"
+        interpret = interpret or _platform() not in _TPU_PLATFORMS
         return _mha_pallas_vjp(q, k, v, key_bias, num_heads, interpret)
     return mha_xla(q, k, v, key_bias, num_heads)

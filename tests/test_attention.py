@@ -52,7 +52,8 @@ class TestKernelParity:
         )
 
     def test_bf16_parity(self, rng):
-        q, k, v, bias = _rand_qkv(rng, 2, 64, 4, jnp.bfloat16)
+        # 4 heads x 32 head_dim — the production head width in bf16
+        q, k, v, bias = _rand_qkv(rng, 2, 64, 4 * 32, jnp.bfloat16)
         ref = mha_xla(q, k, v, bias, 4)
         got = mha_pallas(q, k, v, bias, 4, interpret=True)
         assert got.dtype == jnp.bfloat16
