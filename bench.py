@@ -535,6 +535,78 @@ def main():
         srv.shutdown()
         engine.query_encoder = None
 
+    @_guard("coalesced rerank", os.getenv("BENCH_RERANK", "1") == "1")
+    def _():
+        # live cross-encoder rerank, served two ways on the same engine:
+        # reference-style one-request-at-a-time (app_product_search.py:
+        # 277-278 — one ce.predict per request) vs the coalesced path
+        # (engine/rerank_coalesce.py: one batched stage-A program, ONE
+        # bucketed cross-encoder pass over every rider's pairs, one batched
+        # fusion program). Interleaved repeats; medians (tunnel noise).
+        from review_recommender_tpu.models.bert import BertConfig
+        from review_recommender_tpu.models.encoder import CrossEncoder
+        from review_recommender_tpu.utils.numerics import device_fetch
+
+        class _SynthTexts:
+            """~1900-char doc text per row, built on demand from the row's
+            term ids (the reference truncates rerank docs at 2000 chars;
+            pairs land in the S=512 bucket)."""
+
+            def __init__(self, terms, n):
+                self.terms, self.n = terms, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                row = self.terms[i]
+                base = " ".join(f"t{t}" for t in row if t > 0)
+                reps = -(-1900 // max(len(base), 1))
+                return (base + " ") * reps
+
+        ce = CrossEncoder.random_init(BertConfig.minilm_l6_cross(), seed=3)
+        saved_texts = engine.products.agg_texts
+        engine.products.agg_texts = _SynthTexts(pidx.doc_terms, n_docs)
+        engine.cross_encoder = ce
+        try:
+            B = int(os.getenv("BENCH_RERANK_RIDERS", "16"))
+            rr_k = int(os.getenv("BENCH_RERANK_K", "50"))
+            wts = [(0.4, 0.25, 0.2, 0.1, 0.0, 20.0, 8.0, 1.0)] * B
+
+            def coal():
+                return device_fetch(*engine.query_rerank_batched_pw(
+                    qvecs[:B], qstrings[:B], wts, [rr_k] * B, pool, k))
+
+            def seq():
+                outs = []
+                for i in range(B):
+                    outs.append(device_fetch(
+                        *engine.query_rerank_batched_pw(
+                            qvecs[i:i + 1], qstrings[i:i + 1], wts[:1],
+                            [rr_k], pool, k)))
+                return outs
+
+            seq(), coal()  # compile both program sets + CE buckets
+            t_seq, t_coal = [], []
+            for _ in range(3):
+                t0 = time.perf_counter(); seq()
+                t_seq.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); coal()
+                t_coal.append(time.perf_counter() - t0)
+            ms_seq = float(np.median(t_seq)) * 1e3
+            ms_coal = float(np.median(t_coal)) * 1e3
+            print(json.dumps({
+                "tail_metric": (f"coalesced live rerank, {B} riders x "
+                                f"rerank_k={rr_k} (~1.9KB docs, 6L CE)"),
+                "sequential_ms": round(ms_seq, 1),
+                "coalesced_ms": round(ms_coal, 1),
+                "speedup": round(ms_seq / ms_coal, 2),
+                "rerank_qps": round(B / (ms_coal / 1e3), 2),
+            }))
+        finally:
+            engine.products.agg_texts = saved_texts
+            engine.cross_encoder = None
+
     @_guard("contrastive train step", os.getenv("BENCH_TRAIN", "1") == "1")
     def _():
         # contrastive fine-tune throughput on the flagship tower size

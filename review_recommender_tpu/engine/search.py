@@ -35,6 +35,7 @@ import pandas as pd
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle
 from review_recommender_tpu.ops.bm25 import bm25_candidate_scores
@@ -96,7 +97,7 @@ def encode_query_ids_device(cls_id, sep_id, q_raw, q_len):
     return b_ids, b_mask
 
 
-class SearchEngine(HostSnippetsMixin):
+class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
     def __init__(
         self,
         bundle: IndexBundle,
@@ -192,6 +193,9 @@ class SearchEngine(HostSnippetsMixin):
         )
         self._fused_packed1 = jax.jit(
             self._fused_packed1_impl, static_argnames=("pool", "k")
+        )
+        self._rerank_a = jax.jit(
+            self._rerank_a_impl, static_argnames=("pool",)
         )
 
     def _dense_topk(self, a, qvec, pool):
@@ -331,6 +335,51 @@ class SearchEngine(HostSnippetsMixin):
             axis=-1,
         )
         return jnp.take(st["idx"], pos), scores, bd
+
+    # ------------------------------------------- coalesced rerank (2 programs)
+    def _rerank_a_impl(self, a, rev, qp, use_snips, *, pool):
+        """Batched stage A for the rerank-coalescing server path: everything
+        the fused program computes BEFORE fusion (pool, BM25, gate, snippet
+        scores), returned batched so the host can run ONE cross-encoder pass
+        over every rider's pairs between this and _rerank_b_impl. Rows of qp
+        are [qvec | packed features | 8 fusion weights] (per-query knobs,
+        same layout as _fused_packed_pw_impl)."""
+        d = self.products.dim
+
+        def one(row):
+            qvec = row[:d]
+            packed = row[d:-8]
+            w = FusionWeights(*(row[-8 + i] for i in range(8)))
+            st = self._stage_a_impl(a, qvec, *self._unpack(packed), pool=pool)
+            if rev is not None:
+                best_full = self._snippet_scores_impl(rev, qvec)
+                best_pad = jnp.zeros(self.products.n_padded, jnp.float32)
+                best_pad = best_pad.at[: self.n_docs].set(
+                    jnp.where(best_full > SNIPPET_NONE, best_full, 0.0)
+                )
+                best_raw = jnp.where(
+                    use_snips, jnp.take(best_pad, st["idx"]), 0.0
+                )
+                has_snips = use_snips & jnp.any(best_raw > 0)
+            else:
+                best_raw = jnp.zeros(pool, jnp.float32)
+                has_snips = jnp.bool_(False)
+            gate = jnp.power(
+                w.gate_penalty,
+                (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
+            )
+            return st, best_raw, has_snips, gate
+
+        return jax.vmap(one)(qp)
+
+    def _rerank_stage_a(self, qp, use_snips, pool):
+        """RerankCoalesceMixin hook: one jitted batched stage-A call.
+        query_rerank_batched_pw (the host orchestration + stage B) lives in
+        engine/rerank_coalesce.py, shared with the mesh engine."""
+        return self._rerank_a(
+            self.arrays, self.rev_arrays, jnp.asarray(qp),
+            jnp.bool_(use_snips), pool=pool,
+        )
 
     # --------------------------------------------------- fully on-device e2e
     def attach_models(self, biencoder, crossencoder=None):

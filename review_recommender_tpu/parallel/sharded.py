@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle, ProductIndex
 from review_recommender_tpu.ops.bm25 import bm25_candidate_scores, bm25_full_scores
@@ -61,7 +62,7 @@ _BREAKDOWN_FIELDS = ("dense", "bm25", "rerank", "prior", "best", "trust",
                      "gate", "n_reviews", "avg_stars")
 
 
-class ShardedSearchEngine(HostSnippetsMixin):
+class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
     """The hybrid engine over a corpus sharded across `n_shards` devices.
 
     Full production surface (VERDICT r2 missing #2): the exact `run_search`
@@ -607,6 +608,82 @@ class ShardedSearchEngine(HostSnippetsMixin):
         )
         pool = min(pool, int(self.arrays["valid"].shape[0]))
         fn = self._get_fused_batch_pw(qp.shape[0], pool, k)
+        return fn(self.arrays, self.rev_arrays, jnp.asarray(qp),
+                  jnp.bool_(use_snips))
+
+    # --------------------------------------- coalesced rerank (SPMD stage A)
+    def _rerank_a_block(self, a, rev, qp, use_snips, *, pool):
+        """SPMD batched stage A for the rerank-coalescing server path: the
+        mesh analog of SearchEngine._rerank_a_impl. Each replicated row of
+        `qp` is [qvec | packed features | 8 fusion weights]; per rider the
+        sharded pool + BM25 + gate counters + snippet signal are computed
+        and returned replicated, so the host can run ONE coalesced
+        cross-encoder pass before the (pool-local, engine-shared) stage B
+        in engine/rerank_coalesce.py."""
+        from review_recommender_tpu.engine.featurize import unpack_features
+        from review_recommender_tpu.ops.segment import best_review_scores
+
+        d = self.products.dim
+        ax = self.axis
+
+        def one(row):
+            qvec = row[:d]
+            packed = row[d:-8]
+            w = FusionWeights(*(row[-8 + i] for i in range(8)))
+            feats = unpack_features(
+                packed, self.featurizer.query_terms_cap,
+                self.featurizer.gate_terms_cap,
+            )
+            st = self._stage_a_block(a, qvec, *feats, pool=pool)
+            Pp = st["idx"].shape[0]
+            if rev is not None:
+                local = best_review_scores(
+                    rev["rev_emb"], rev["rev_product"], rev["rev_valid"],
+                    qvec, self.n_docs,
+                )
+                safe_gidx = jnp.clip(st["idx"], 0, self.n_docs - 1)
+                best_all = jax.lax.pmax(jnp.take(local, safe_gidx), ax)
+                best_raw = jnp.where(
+                    use_snips & (best_all > jnp.float32(-1e30))
+                    & st["cand_valid"] & (st["idx"] < self.n_docs),
+                    best_all, 0.0,
+                )
+                has_snips = use_snips & jnp.any(best_raw > 0)
+            else:
+                best_raw = jnp.zeros(Pp, jnp.float32)
+                has_snips = jnp.bool_(False)
+            gate = jnp.power(
+                w.gate_penalty,
+                (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
+            )
+            return st, best_raw, has_snips, gate
+
+        return jax.vmap(one)(qp)
+
+    def _get_rerank_a(self, batch: int, pool: int):
+        key = ("rerank_a", batch, pool)
+        if key not in self._compiled:
+            ax = self.axis
+            sh, rep = P(ax), P()
+            rev_specs = ({n: sh for n in self.rev_arrays}
+                         if self.rev_arrays else None)
+            st_specs = {n: rep for n in
+                        ("idx", "dense_raw", "cand_valid", "bm25_raw",
+                         "gate_hits", "n_groups", "n_reviews", "avg_stars")}
+            body = functools.partial(self._rerank_a_block, pool=pool)
+            fn = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(self._array_specs(sh), rev_specs, rep, rep),
+                out_specs=(st_specs, rep, rep, rep), check_vma=False,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def _rerank_stage_a(self, qp, use_snips, pool):
+        """RerankCoalesceMixin hook (see engine/rerank_coalesce.py): the
+        micro-batcher's live-rerank riders coalesce on the mesh exactly as
+        on the single chip."""
+        fn = self._get_rerank_a(qp.shape[0], pool)
         return fn(self.arrays, self.rev_arrays, jnp.asarray(qp),
                   jnp.bool_(use_snips))
 

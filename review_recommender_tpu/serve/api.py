@@ -78,15 +78,17 @@ def _is_transient_device_error(e: BaseException) -> bool:
 
 class _Pending:
     __slots__ = ("query", "qvec", "weights", "k", "pool", "use_snips",
-                 "event", "result", "error")
+                 "rerank_k", "event", "result", "error")
 
-    def __init__(self, query, qvec, weights, k, pool, use_snips):
+    def __init__(self, query, qvec, weights, k, pool, use_snips,
+                 rerank_k=0):
         self.query = query
         self.qvec = qvec
         self.weights = weights
         self.k = k
         self.pool = pool
         self.use_snips = use_snips
+        self.rerank_k = rerank_k  # >0 => live cross-encoder lane
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -139,6 +141,7 @@ class MicroBatcher:
         qvec = np.zeros(dim, np.float32)
         qvec[0] = 1.0
         weights = (0.5, 0.2, 0.0, 0.2, 0.1, 20.0, 0.0, 0.5)
+        warm_rerank = self.engine.cross_encoder is not None
         for b in self.BUCKETS:
             if b > self.max_batch:
                 break
@@ -147,10 +150,20 @@ class MicroBatcher:
                 pool, k, use_snips=use_snips,
             )
             device_fetch(*out)
+            if warm_rerank:
+                # rerank_ks=0 compiles both coalesced-rerank programs
+                # (their shapes don't depend on the rerank counts) without
+                # running the cross-encoder
+                out = self.engine.query_rerank_batched_pw(
+                    np.stack([qvec] * b), ["warmup query"] * b,
+                    [weights] * b, [0] * b, pool, k, use_snips=use_snips,
+                )
+                device_fetch(*out)
 
     def search(self, query: str, qvec, weights, k: int, pool: int,
-               use_snips: bool, timeout: float = 30.0) -> dict:
-        req = _Pending(query, qvec, weights, k, pool, use_snips)
+               use_snips: bool, rerank_k: int = 0,
+               timeout: float = 30.0) -> dict:
+        req = _Pending(query, qvec, weights, k, pool, use_snips, rerank_k)
         with self._cv:
             self._pending.append(req)
             self._cv.notify()
@@ -191,11 +204,16 @@ class MicroBatcher:
 
         from review_recommender_tpu.utils.numerics import device_fetch
 
-        # group by program shape (k, pool, use_snips); weights are per-query
+        # group by program shape (k, pool, use_snips, rerank lane); weights
+        # are per-query. Rerank riders share one coalesced cross-encoder
+        # pass (engine.query_rerank_batched_pw) instead of falling off the
+        # batched path one request at a time.
         groups: dict = {}
         for r in batch:
-            groups.setdefault((r.k, r.pool, r.use_snips), []).append(r)
-        for (k, pool, use_snips), reqs in groups.items():
+            groups.setdefault(
+                (r.k, r.pool, r.use_snips, r.rerank_k > 0), []
+            ).append(r)
+        for (k, pool, use_snips, rerank), reqs in groups.items():
             n = len(reqs)
             bucket = next(b for b in self.BUCKETS if b >= n)
             pad = bucket - n
@@ -203,12 +221,20 @@ class MicroBatcher:
                              + [reqs[-1].qvec] * pad)
             queries = [r.query for r in reqs] + [reqs[-1].query] * pad
             weights = [r.weights for r in reqs] + [reqs[-1].weights] * pad
-            t0 = time.perf_counter()
-            try:
-                rows, scores, bd = self.engine.query_fused_batched_pw(
+            if rerank:
+                # padding riders carry rerank_k=0: no cross-encoder pairs
+                rerank_ks = [r.rerank_k for r in reqs] + [0] * pad
+                call = lambda: self.engine.query_rerank_batched_pw(
+                    qvecs, queries, weights, rerank_ks, pool, k,
+                    use_snips=use_snips,
+                )
+            else:
+                call = lambda: self.engine.query_fused_batched_pw(
                     qvecs, queries, weights, pool, k, use_snips=use_snips
                 )
-                rows, scores, bd = device_fetch(rows, scores, bd)
+            t0 = time.perf_counter()
+            try:
+                rows, scores, bd = device_fetch(*call())
             except Exception as e:
                 # transient device/tunnel hiccups (observed: hung readback,
                 # FAILED_PRECONDITION mid-run) — one retry before failing
@@ -217,10 +243,7 @@ class MicroBatcher:
                     raise
                 logger.warning("micro-batch device call failed; retrying",
                                exc_info=True)
-                rows, scores, bd = self.engine.query_fused_batched_pw(
-                    qvecs, queries, weights, pool, k, use_snips=use_snips
-                )
-                rows, scores, bd = device_fetch(rows, scores, bd)
+                rows, scores, bd = device_fetch(*call())
             took = (time.perf_counter() - t0) * 1e3
             self.batches += 1
             self.coalesced += n
@@ -319,17 +342,25 @@ class SearchService:
             self.batcher.close()
 
     def _batchable(self, payload: dict) -> bool:
-        """A /search request can ride the coalesced fused program when it
-        needs no per-request host hooks: no exact-mode snippet scan, and no
-        live cross-encoder pass (rerank_k=0, no model, or flag off)."""
+        """A /search request can ride a coalesced program unless it needs
+        the exact-mode snippet scan (max_scan), the only remaining
+        per-request host hook. Live-rerank requests coalesce too: the
+        batcher routes them through query_rerank_batched_pw, which shares
+        one cross-encoder pass across riders."""
         if self.batcher is None:
             return False
-        if int(payload.get("max_scan", 0) or 0) != 0:
-            return False
+        return int(payload.get("max_scan", 0) or 0) == 0
+
+    def _rerank_k_live(self, payload: dict) -> int:
+        """Effective live-rerank depth for the coalesced path: 0 when the
+        cross-encoder is absent/disabled (those requests ride the plain
+        fused program, whose zero rerank column matches run_search's
+        degraded lanes)."""
         rerank_k = int(payload.get("rerank_k", config.DEFAULT_RERANK_K))
-        rerank_live = (rerank_k > 0 and self.engine.cross_encoder is not None
-                       and config.ENABLE_RERANKING)
-        return not rerank_live
+        if (rerank_k > 0 and self.engine.cross_encoder is not None
+                and config.ENABLE_RERANKING):
+            return rerank_k
+        return 0
 
     def _coalesced_search(self, payload: dict) -> dict:
         c = config
@@ -354,7 +385,8 @@ class SearchService:
             qvec = self.engine.encode_query(payload["query"])
         use_snips = bool(g("use_snips", False)) and config.ENABLE_SNIPPETS
         return self.batcher.search(
-            payload["query"], qvec, weights, k, pool, use_snips
+            payload["query"], qvec, weights, k, pool, use_snips,
+            rerank_k=self._rerank_k_live(payload),
         )
 
     WARMUP_KS = (5, 10, 20)  # common top-k values; each k is its own program

@@ -73,7 +73,9 @@ def _post(url, payload):
         headers={"Content-Type": "application/json"},
     )
     try:
-        with urllib.request.urlopen(req, timeout=60) as r:
+        # generous: a cold mesh-program compile under full-suite load on
+        # this single-core box can hold a request for minutes
+        with urllib.request.urlopen(req, timeout=600) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
@@ -160,13 +162,73 @@ class TestMeshServing:
                    for q in queries]
         for t in threads:
             t.start()
+        # generous: under full-suite load this single-core box can spend
+        # minutes compiling the batched programs for a fresh bucket shape
         for t in threads:
-            t.join(timeout=120)
+            t.join(timeout=600)
+        assert not any(t.is_alive() for t in threads), "request timed out"
         assert not errors
         before = msrv.service.batcher.coalesced
         assert before >= len(queries)
         for q in queries:
             assert results[q] == expected[q], q
+
+    def test_concurrent_rerank_riders_coalesce_on_mesh(self, bundle):
+        """Live-rerank /search riders coalesce over the mesh engine
+        (query_rerank_batched_pw via RerankCoalesceMixin) and each equals
+        the single-chip server's answer — the cross-encoder pass is shared
+        across riders AND the pool is corpus-sharded."""
+        from tests.test_microbatch import _FakePairCE
+
+        mesh_eng = ShardedSearchEngine(
+            bundle, n_shards=8, emb_dtype="float32", query_encoder=_enc,
+            cross_encoder=_FakePairCE(),
+        )
+        single_eng = SearchEngine(
+            bundle, emb_dtype="float32", gate_mode="device",
+            query_encoder=_enc, cross_encoder=_FakePairCE(),
+        )
+        msrv, mesh_url = _boot(mesh_eng)
+        ssrv, single_url = _boot(single_eng)
+        try:
+            queries = [f"rerank burst {i} socks" for i in range(6)]
+            payloads = {
+                q: {"query": q, "k": 5, "rerank_k": 6, "w_rerank": 0.25}
+                for q in queries
+            }
+            expected = {}
+            for q in queries:
+                code, b = _post(single_url + "/search", payloads[q])
+                assert code == 200
+                expected[q] = _strip_timing(b)
+
+            results, errors = {}, []
+
+            def worker(q):
+                try:
+                    code, b = _post(mesh_url + "/search", payloads[q])
+                    assert code == 200
+                    results[q] = _strip_timing(b)
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker, args=(q,))
+                       for q in queries]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert not any(t.is_alive() for t in threads), "request timed out"
+            assert not errors
+            assert msrv.service.batcher.coalesced >= len(queries)
+            for q in queries:
+                assert results[q] == expected[q], q
+                # the rerank signal actually contributed on the mesh
+                assert any(r["_rerank"] != 0.0
+                           for r in results[q]["results"]), q
+        finally:
+            msrv.shutdown()
+            ssrv.shutdown()
 
     def test_eval_endpoint_over_mesh(self, mesh_server):
         code, body = _post(mesh_server[0] + "/eval", {

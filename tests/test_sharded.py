@@ -377,3 +377,55 @@ class TestShardedStripedScan:
         rb, sb = np.asarray(rb), np.asarray(sb)
         assert rb.shape == (4, 5)
         assert np.isfinite(sb[:, 0]).all()
+
+
+class TestShardedRerankCoalesce:
+    """query_rerank_batched_pw (RerankCoalesceMixin) on the mesh equals the
+    single-chip engine: SPMD stage A, one shared cross-encoder pass, the
+    engine-shared stage B."""
+
+    def test_matches_single_chip(self, bundle):
+        from tests.test_microbatch import _FakePairCE
+
+        ce = _FakePairCE()
+        single = SearchEngine(bundle, emb_dtype="float32",
+                              gate_mode="device", cross_encoder=ce)
+        sharded = ShardedSearchEngine(bundle, n_shards=8,
+                                      emb_dtype="float32", cross_encoder=ce)
+        qvecs = np.stack([_qvec(s) for s in (1, 2, 3, 4)])
+        queries = ["yellow cat socks", "wireless headphones",
+                   "kitchen knife", "blue running shoes"]
+        weights = [(0.4, 0.2, 0.25, 0.15, 0.0, 20.0, 5.0, 0.5)] * 4
+        rerank_ks = [6, 0, 8, 3]  # incl. a rerank_k=0 padding-style rider
+        args = (qvecs, queries, weights, rerank_ks)
+        r_s, s_s, b_s = (np.asarray(x) for x in
+                         single.query_rerank_batched_pw(*args, pool=24, k=8))
+        r_m, s_m, b_m = (np.asarray(x) for x in
+                         sharded.query_rerank_batched_pw(*args, pool=24, k=8))
+        np.testing.assert_array_equal(r_s, r_m)
+        np.testing.assert_allclose(s_s, s_m, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(b_s, b_m, rtol=2e-4, atol=2e-5)
+        # the rerank column contributed for the rerank riders only
+        rr = b_m[..., 2]
+        assert np.any(rr[0] != 0) and np.any(rr[2] != 0)
+        assert np.all(rr[1] == 0)
+
+    def test_snippet_signal_parity(self, bundle):
+        from tests.test_microbatch import _FakePairCE
+
+        ce = _FakePairCE()
+        single = SearchEngine(bundle, emb_dtype="float32",
+                              gate_mode="device", cross_encoder=ce)
+        sharded = ShardedSearchEngine(bundle, n_shards=8,
+                                      emb_dtype="float32", cross_encoder=ce)
+        qvecs = np.stack([_qvec(s) for s in (7, 8)])
+        queries = ["yellow cat socks", "usb cable"]
+        weights = [(0.4, 0.2, 0.2, 0.1, 0.1, 20.0, 5.0, 0.5)] * 2
+        args = (qvecs, queries, weights, [5, 5])
+        r_s, s_s, b_s = (np.asarray(x) for x in single.query_rerank_batched_pw(
+            *args, pool=24, k=8, use_snips=True))
+        r_m, s_m, b_m = (np.asarray(x) for x in sharded.query_rerank_batched_pw(
+            *args, pool=24, k=8, use_snips=True))
+        np.testing.assert_array_equal(r_s, r_m)
+        np.testing.assert_allclose(s_s, s_m, rtol=2e-4, atol=2e-5)
+        assert np.any(b_m[..., 4] != 0)  # best-review column live
