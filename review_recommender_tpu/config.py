@@ -173,20 +173,53 @@ class Config:
     # the rerank forward at (64, 512) is bandwidth-bound on that tensor.
     ATTN_IMPL = os.getenv("ATTN_IMPL", "auto")
     # Dense candidate-pool selection: "exact" (lax.top_k over the corpus
-    # axis — the oracle-parity default) or "striped" (two-stage stripe-max
+    # axis — the oracle-parity mode), "striped" (two-stage stripe-max
     # + top-k over stripe maxima, ops/dense.py:striped_topk — ~2x faster
-    # stage-A at N=200k; exact scores, ~0.99 pool recall at pool=150).
-    DENSE_POOL_MODE = os.getenv("DENSE_POOL_MODE", "exact")
+    # stage-A at N=200k; exact scores, ~0.99 pool recall at pool=150), or
+    # "auto" (default): striped when the padded corpus reaches
+    # DENSE_POOL_AUTO_MIN rows, exact below it. Auto keeps small/test
+    # corpora bit-identical to the reference oracle while production-sized
+    # corpora get the striped win — interleaved A/B medians at N=200k on
+    # one v5e chip: striped/exact = 1.30x at batch 128, 1.34x at batch 256,
+    # parity (0.96x, within tunnel noise) at batch 32.
+    DENSE_POOL_MODE = os.getenv("DENSE_POOL_MODE", "auto")
+    # Corpus-size threshold (padded rows) where "auto" switches to striped.
+    # Below ~64k rows the full-corpus lax.top_k is already cheap and exact
+    # parity is worth more than the stripe fold's saving.
+    DENSE_POOL_AUTO_MIN = _env_int("DENSE_POOL_AUTO_MIN", "65536")
     # Stripe count for DENSE_POOL_MODE=striped. Expected pool-recall loss is
     # about pool / (2 * stripes) — e.g. ~0.9% at pool=150, stripes=8192;
     # corpora with n_padded <= stripes are exact.
     DENSE_POOL_STRIPES = _env_int("DENSE_POOL_STRIPES", "8192")
+
+    @classmethod
+    def resolve_pool_mode(cls, mode: str, n_padded: int) -> str:
+        """Resolve a dense_pool mode string to 'exact' | 'striped'.
+        'auto' picks striped iff the padded corpus has at least
+        DENSE_POOL_AUTO_MIN rows (see DENSE_POOL_MODE comment for the
+        measured crossover)."""
+        if mode != "auto":
+            return mode
+        return ("striped" if n_padded >= cls.DENSE_POOL_AUTO_MIN
+                else "exact")
     # Cross-request micro-batching (serve/api.py:MicroBatcher): concurrent
     # /search requests within the window coalesce into one batched device
     # program. Window ~2 ms trades a little latency for batched throughput.
     ENABLE_MICROBATCH = _env_bool("ENABLE_MICROBATCH", "true")
+    # Serve through the C++ epoll front end (native/server.cc): HTTP
+    # parsing + micro-batch windowing in native code, ONE Python entry per
+    # window. Opt-in; the stdlib server is the default and the automatic
+    # fallback when librrt_native.so is absent.
+    SERVE_NATIVE = _env_bool("SERVE_NATIVE", "false")
     MICROBATCH_WINDOW_MS = _env_float("MICROBATCH_WINDOW_MS", "2.0")
     MICROBATCH_MAX = _env_int("MICROBATCH_MAX", "64")
+    # Per-rider wait bound on the coalesced path. Must cover a COLD
+    # compile of a not-yet-warmed program shape (a burst with a novel
+    # k/rerank_k compiles inside the window — warmup only pre-builds the
+    # default-k buckets), which takes minutes' worth of seconds on a slow
+    # host; 30 s was measured to flake exactly there. Warm requests never
+    # come near this bound.
+    MICROBATCH_TIMEOUT_S = _env_float("MICROBATCH_TIMEOUT_S", "180.0")
 
     # Persistent XLA compilation cache (utils/compile_cache.py). Compiled
     # executables are written under this directory and reloaded by later
@@ -229,13 +262,15 @@ class Config:
             raise ValueError(f"GATE_MODE must be 'device' or 'host', got {cls.GATE_MODE!r}")
         if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16", "int8"):
             raise ValueError(f"Unsupported EMB_DTYPE: {cls.EMB_DTYPE!r}")
-        if cls.DENSE_POOL_MODE not in ("exact", "striped"):
+        if cls.DENSE_POOL_MODE not in ("auto", "exact", "striped"):
             raise ValueError(
-                f"DENSE_POOL_MODE must be 'exact' or 'striped', "
+                f"DENSE_POOL_MODE must be 'auto', 'exact' or 'striped', "
                 f"got {cls.DENSE_POOL_MODE!r}"
             )
         if cls.DENSE_POOL_STRIPES <= 0:
             raise ValueError("DENSE_POOL_STRIPES must be positive")
+        if cls.DENSE_POOL_AUTO_MIN <= 0:
+            raise ValueError("DENSE_POOL_AUTO_MIN must be positive")
         if cls.is_production():
             if not cls.INDEX_DIR.exists():
                 raise FileNotFoundError(

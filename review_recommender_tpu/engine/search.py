@@ -117,8 +117,15 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         self.gate_mode = gate_mode or config.GATE_MODE
         # "exact" = lax.top_k over the corpus (oracle parity); "striped" =
         # two-stage stripe-max pool (ops/dense.py:striped_topk, ~2x faster
-        # stage-A, exact scores, ~0.99 pool recall)
-        self.dense_pool = dense_pool or config.DENSE_POOL_MODE
+        # stage-A, exact scores, ~0.99 pool recall); "auto" resolves by
+        # corpus size (config.resolve_pool_mode — striped from
+        # DENSE_POOL_AUTO_MIN padded rows up, where the measured win is
+        # 1.3x at batch>=128; exact below, keeping test/parity corpora
+        # bit-identical to the reference oracle)
+        self.dense_pool = config.resolve_pool_mode(
+            dense_pool or config.DENSE_POOL_MODE,
+            bundle.products.n_padded,
+        )
         self.dense_stripes = config.DENSE_POOL_STRIPES
         self.query_encoder = query_encoder
         self.cross_encoder = cross_encoder

@@ -99,7 +99,12 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         self.gate_mode = gate_mode or config.GATE_MODE
         raw_dtype = emb_dtype or config.EMB_DTYPE
         self.int8_mode = raw_dtype == "int8"
-        self.dense_pool = dense_pool or config.DENSE_POOL_MODE
+        # "auto" resolves by global corpus size, same crossover as the
+        # single-chip engine (config.resolve_pool_mode)
+        self.dense_pool = config.resolve_pool_mode(
+            dense_pool or config.DENSE_POOL_MODE,
+            bundle.products.n_padded,
+        )
         self.dense_stripes = config.DENSE_POOL_STRIPES
         dtype = _DTYPES[raw_dtype]
 

@@ -251,3 +251,56 @@ def test_config_validates_mode(monkeypatch):
     monkeypatch.setattr(Config, "DENSE_POOL_MODE", "bogus")
     with pytest.raises(ValueError, match="DENSE_POOL_MODE"):
         Config.validate()
+
+
+def test_config_validates_auto_min(monkeypatch):
+    from review_recommender_tpu.config import Config
+
+    monkeypatch.setattr(Config, "DENSE_POOL_MODE", "auto")
+    Config.validate()  # 'auto' is a legal mode
+    monkeypatch.setattr(Config, "DENSE_POOL_AUTO_MIN", 0)
+    with pytest.raises(ValueError, match="DENSE_POOL_AUTO_MIN"):
+        Config.validate()
+
+
+def test_auto_mode_resolution(monkeypatch):
+    """'auto' resolves by padded corpus size: exact below
+    DENSE_POOL_AUTO_MIN (tests/parity corpora), striped at or above it
+    (production corpora). Explicit modes are never overridden."""
+    from review_recommender_tpu.config import Config
+
+    assert Config.resolve_pool_mode("exact", 10**9) == "exact"
+    assert Config.resolve_pool_mode("striped", 8) == "striped"
+    monkeypatch.setattr(Config, "DENSE_POOL_AUTO_MIN", 100)
+    assert Config.resolve_pool_mode("auto", 99) == "exact"
+    assert Config.resolve_pool_mode("auto", 100) == "striped"
+
+
+def test_engine_auto_mode_small_corpus_is_exact(monkeypatch):
+    """Default-constructed engines on small corpora resolve auto -> exact,
+    keeping every oracle-parity test on the reference-identical pool; with
+    the threshold forced below the corpus size the same construction picks
+    striped, on the single-chip AND sharded engines."""
+    from review_recommender_tpu.engine import search as search_mod
+    from review_recommender_tpu.parallel import sharded as sharded_mod
+    from review_recommender_tpu.parallel.sharded import ShardedSearchEngine
+
+    # patch the class of the instance each ENGINE module captured at its
+    # import (test_config.py reloads the config module, so modules imported
+    # before and after that reload can hold DIFFERENT Config classes)
+    classes = {type(search_mod.config), type(sharded_mod.config)}
+
+    products, emb, _r, _re = make_corpus(n=96, dim=32, seed=3)
+    bundle = build_bundle_from_products(products, emb, pad_multiple=16,
+                                        doc_terms_cap=64)
+    for C in classes:
+        monkeypatch.setattr(C, "DENSE_POOL_MODE", "auto")
+    eng = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    assert eng.dense_pool == "exact"
+
+    for C in classes:
+        monkeypatch.setattr(C, "DENSE_POOL_AUTO_MIN", 64)
+    eng2 = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    assert eng2.dense_pool == "striped"
+    sh = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+    assert sh.dense_pool == "striped"
