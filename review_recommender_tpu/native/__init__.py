@@ -18,6 +18,19 @@ from typing import List, Optional
 
 _LIB_PATH = Path(__file__).parent / "librrt_native.so"
 
+# native HTTP server callback signatures (server.cc): the batch callback
+# receives a window of raw POST /search bodies; the fallback callback one
+# (method, path, body) request. Both reply via rrt_server_reply DURING the
+# call (the server copies bytes immediately).
+RRT_BATCH_CB = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64,
+)
+RRT_FALLBACK_CB = ctypes.CFUNCTYPE(
+    None, ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_char),
+    ctypes.c_int64,
+)
+
 
 @functools.lru_cache(maxsize=1)
 def _lib() -> Optional[ctypes.CDLL]:
@@ -85,7 +98,31 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ndpointer(_np.int64, flags="C"),
         ctypes.c_int64, ndpointer(_np.float32, flags="C,W"),
     ]
+    if hasattr(lib, "rrt_server_start"):  # server.cc (older .so lacks it)
+        lib.rrt_server_start.restype = ctypes.c_int64
+        lib.rrt_server_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_double,
+            ctypes.c_int64, RRT_BATCH_CB, RRT_FALLBACK_CB,
+        ]
+        lib.rrt_server_reply.restype = None
+        lib.rrt_server_reply.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.rrt_server_stop.restype = None
+        lib.rrt_server_stop.argtypes = []
+        lib.rrt_server_port.restype = ctypes.c_int32
+        lib.rrt_server_port.argtypes = []
+        lib.rrt_server_running.restype = ctypes.c_int32
+        lib.rrt_server_running.argtypes = []
+        lib.rrt_server_stats.restype = None
+        lib.rrt_server_stats.argtypes = [ctypes.POINTER(ctypes.c_int64)]
     return lib
+
+
+def native_server_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "rrt_server_start")
 
 
 def native_available() -> bool:

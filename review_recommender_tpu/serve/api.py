@@ -94,6 +94,169 @@ class _Pending:
         self.error = None
 
 
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def format_search_result(engine, req, rows, scores, bd, batch_n,
+                         took_ms) -> dict:
+    """Build one /search response dict from a coalesced program's outputs
+    (shared by the Python MicroBatcher and the native C++ front end, so
+    both servers answer byte-identically)."""
+    import math as _math
+
+    p = engine.products
+    last_ts = p.last_ts
+    out_rows = []
+    for rank in range(len(rows)):
+        s = float(scores[rank])
+        if not _math.isfinite(s):
+            continue
+        ridx = int(rows[rank])
+        sig = bd[rank]
+        out_rows.append({
+            "sku": p.skus[ridx],
+            "n_reviews": float(p.n_reviews[ridx]),
+            "avg_stars": float(p.avg_stars[ridx]),
+            **({"last_ts": last_ts[ridx]} if last_ts else {}),
+            "agg_text": p.agg_texts[ridx],
+            "_dense": float(sig[0]), "_bm25": float(sig[1]),
+            "_rerank": float(sig[2]), "_prior": float(sig[3]),
+            "_best": float(sig[4]), "_trust": float(sig[5]),
+            "_gate": float(sig[6]), "_final": s,
+        })
+    snips = {}
+    if req.use_snips and engine.reviews is not None and out_rows:
+        result_rows = np.asarray(
+            [int(r) for r in rows[: len(out_rows)]], np.int64
+        )
+        # host CSR argmax recovers the displayed snippet text for the
+        # RESULT products (the pool-wide dict is a single-query luxury)
+        snips = engine._snippet_texts(req.qvec, result_rows)
+    from review_recommender_tpu.utils.text import (
+        build_gate_groups,
+        tokenize_query,
+    )
+
+    tokens = tokenize_query(req.query)
+    bm25_active = config.ENABLE_BM25 and any(
+        p.idf[p.vocab[t]] > 0 for t in tokens if t in p.vocab
+    )
+    return {
+        "results": out_rows,
+        "snippets": snips,
+        "debug": {
+            "bm25_active": bool(bm25_active),
+            "tokens": tokens,
+            "groups": [sorted(g) for g in build_gate_groups(req.query)],
+            "pool": req.pool,
+            "gate_mode": engine.gate_mode,
+            "coalesced": batch_n,
+            "batch_ms": round(took_ms, 3),
+        },
+        "took_ms": round(took_ms, 3),
+    }
+
+
+def run_coalesced_batch(engine, batch, buckets=BATCH_BUCKETS, stats=None):
+    """Execute a window of _Pending search requests as batched device
+    programs, setting each request's .result or .error (events are NOT
+    touched — the MicroBatcher wrapper does that; the native server has
+    none). stats, if given, gets .batches/.coalesced bumped."""
+    from review_recommender_tpu.utils.numerics import device_fetch
+
+    # group by program shape (k, pool, use_snips, rerank lane); weights
+    # are per-query. Rerank riders share one coalesced cross-encoder
+    # pass (engine.query_rerank_batched_pw) instead of falling off the
+    # batched path one request at a time.
+    groups: dict = {}
+    for r in batch:
+        groups.setdefault(
+            (r.k, r.pool, r.use_snips, r.rerank_k > 0), []
+        ).append(r)
+    for (k, pool, use_snips, rerank), reqs in groups.items():
+        n = len(reqs)
+        bucket = next(b for b in buckets if b >= n)
+        pad = bucket - n
+        qvecs = np.stack([r.qvec for r in reqs]
+                         + [reqs[-1].qvec] * pad)
+        queries = [r.query for r in reqs] + [reqs[-1].query] * pad
+        weights = [r.weights for r in reqs] + [reqs[-1].weights] * pad
+        if rerank:
+            # padding riders carry rerank_k=0: no cross-encoder pairs
+            rerank_ks = [r.rerank_k for r in reqs] + [0] * pad
+            call = lambda: engine.query_rerank_batched_pw(
+                qvecs, queries, weights, rerank_ks, pool, k,
+                use_snips=use_snips,
+            )
+        else:
+            call = lambda: engine.query_fused_batched_pw(
+                qvecs, queries, weights, pool, k, use_snips=use_snips
+            )
+        t0 = time.perf_counter()
+        try:
+            rows, scores, bd = device_fetch(*call())
+        except Exception as e:
+            # transient device/tunnel hiccups (observed: hung readback,
+            # FAILED_PRECONDITION mid-run) — one retry before failing
+            # every rider in the batch; deterministic errors fail fast
+            if not _is_transient_device_error(e):
+                for r in reqs:
+                    r.error = e
+                continue
+            logger.warning("micro-batch device call failed; retrying",
+                           exc_info=True)
+            try:
+                rows, scores, bd = device_fetch(*call())
+            except Exception as e2:
+                for r in reqs:
+                    r.error = e2
+                continue
+        took = (time.perf_counter() - t0) * 1e3
+        if stats is not None:
+            stats.batches += 1
+            stats.coalesced += n
+        for i, r in enumerate(reqs):
+            try:
+                r.result = format_search_result(
+                    engine, r, rows[i], scores[i], bd[i], n, took
+                )
+            except Exception as e:  # pragma: no cover - defensive
+                r.error = e
+
+
+def warmup_coalesced_buckets(engine, k, pool, dim, max_batch,
+                             use_snips=False, buckets=BATCH_BUCKETS):
+    """Pre-compile the coalesced program for EVERY bucket size up to
+    max_batch (each padded batch size is a distinct XLA program). A
+    cold bucket compiling on the first concurrent burst stalls every
+    rider for seconds — measured 35 q/s with timeouts vs hundreds
+    warm on the live-HTTP bench. Shared by the Python micro-batcher and
+    the native front end (both dispatch the same bucketed programs)."""
+    from review_recommender_tpu.utils.numerics import device_fetch
+
+    qvec = np.zeros(dim, np.float32)
+    qvec[0] = 1.0
+    weights = (0.5, 0.2, 0.0, 0.2, 0.1, 20.0, 0.0, 0.5)
+    warm_rerank = engine.cross_encoder is not None
+    for b in buckets:
+        if b > max_batch:
+            break
+        out = engine.query_fused_batched_pw(
+            np.stack([qvec] * b), ["warmup query"] * b, [weights] * b,
+            pool, k, use_snips=use_snips,
+        )
+        device_fetch(*out)
+        if warm_rerank:
+            # rerank_ks=0 compiles both coalesced-rerank programs
+            # (their shapes don't depend on the rerank counts) without
+            # running the cross-encoder
+            out = engine.query_rerank_batched_pw(
+                np.stack([qvec] * b), ["warmup query"] * b,
+                [weights] * b, [0] * b, pool, k, use_snips=use_snips,
+            )
+            device_fetch(*out)
+
+
 class MicroBatcher:
     """Cross-request micro-batching: concurrent /search requests arriving
     within a short window coalesce into ONE batched device program
@@ -131,43 +294,20 @@ class MicroBatcher:
 
     def warmup_buckets(self, k: int, pool: int, dim: int,
                        use_snips: bool = False) -> None:
-        """Pre-compile the coalesced program for EVERY bucket size up to
-        max_batch (each padded batch size is a distinct XLA program). A
-        cold bucket compiling on the first concurrent burst stalls every
-        rider for seconds — measured 35 q/s with timeouts vs hundreds
-        warm on the live-HTTP bench."""
-        from review_recommender_tpu.utils.numerics import device_fetch
-
-        qvec = np.zeros(dim, np.float32)
-        qvec[0] = 1.0
-        weights = (0.5, 0.2, 0.0, 0.2, 0.1, 20.0, 0.0, 0.5)
-        warm_rerank = self.engine.cross_encoder is not None
-        for b in self.BUCKETS:
-            if b > self.max_batch:
-                break
-            out = self.engine.query_fused_batched_pw(
-                np.stack([qvec] * b), ["warmup query"] * b, [weights] * b,
-                pool, k, use_snips=use_snips,
-            )
-            device_fetch(*out)
-            if warm_rerank:
-                # rerank_ks=0 compiles both coalesced-rerank programs
-                # (their shapes don't depend on the rerank counts) without
-                # running the cross-encoder
-                out = self.engine.query_rerank_batched_pw(
-                    np.stack([qvec] * b), ["warmup query"] * b,
-                    [weights] * b, [0] * b, pool, k, use_snips=use_snips,
-                )
-                device_fetch(*out)
+        warmup_coalesced_buckets(self.engine, k, pool, dim, self.max_batch,
+                                 use_snips=use_snips, buckets=self.BUCKETS)
 
     def search(self, query: str, qvec, weights, k: int, pool: int,
                use_snips: bool, rerank_k: int = 0,
-               timeout: float = 30.0) -> dict:
+               timeout: Optional[float] = None) -> dict:
         req = _Pending(query, qvec, weights, k, pool, use_snips, rerank_k)
         with self._cv:
             self._pending.append(req)
             self._cv.notify()
-        if not req.event.wait(timeout):
+        # default bound covers a cold compile of a novel program shape
+        # inside the window (config.MICROBATCH_TIMEOUT_S rationale)
+        if not req.event.wait(config.MICROBATCH_TIMEOUT_S
+                              if timeout is None else timeout):
             raise TimeoutError("micro-batch execution timed out")
         if req.error is not None:
             raise req.error
@@ -200,119 +340,10 @@ class MicroBatcher:
                     r.event.set()
 
     def _run(self, batch):
-        import numpy as np
-
-        from review_recommender_tpu.utils.numerics import device_fetch
-
-        # group by program shape (k, pool, use_snips, rerank lane); weights
-        # are per-query. Rerank riders share one coalesced cross-encoder
-        # pass (engine.query_rerank_batched_pw) instead of falling off the
-        # batched path one request at a time.
-        groups: dict = {}
+        run_coalesced_batch(self.engine, batch, buckets=self.BUCKETS,
+                            stats=self)
         for r in batch:
-            groups.setdefault(
-                (r.k, r.pool, r.use_snips, r.rerank_k > 0), []
-            ).append(r)
-        for (k, pool, use_snips, rerank), reqs in groups.items():
-            n = len(reqs)
-            bucket = next(b for b in self.BUCKETS if b >= n)
-            pad = bucket - n
-            qvecs = np.stack([r.qvec for r in reqs]
-                             + [reqs[-1].qvec] * pad)
-            queries = [r.query for r in reqs] + [reqs[-1].query] * pad
-            weights = [r.weights for r in reqs] + [reqs[-1].weights] * pad
-            if rerank:
-                # padding riders carry rerank_k=0: no cross-encoder pairs
-                rerank_ks = [r.rerank_k for r in reqs] + [0] * pad
-                call = lambda: self.engine.query_rerank_batched_pw(
-                    qvecs, queries, weights, rerank_ks, pool, k,
-                    use_snips=use_snips,
-                )
-            else:
-                call = lambda: self.engine.query_fused_batched_pw(
-                    qvecs, queries, weights, pool, k, use_snips=use_snips
-                )
-            t0 = time.perf_counter()
-            try:
-                rows, scores, bd = device_fetch(*call())
-            except Exception as e:
-                # transient device/tunnel hiccups (observed: hung readback,
-                # FAILED_PRECONDITION mid-run) — one retry before failing
-                # every rider in the batch; deterministic errors fail fast
-                if not _is_transient_device_error(e):
-                    raise
-                logger.warning("micro-batch device call failed; retrying",
-                               exc_info=True)
-                rows, scores, bd = device_fetch(*call())
-            took = (time.perf_counter() - t0) * 1e3
-            self.batches += 1
-            self.coalesced += n
-            for i, r in enumerate(reqs):
-                try:
-                    r.result = self._format(
-                        r, rows[i], scores[i], bd[i], n, took
-                    )
-                except Exception as e:  # pragma: no cover - defensive
-                    r.error = e
-                r.event.set()
-
-    def _format(self, req, rows, scores, bd, batch_n, took_ms) -> dict:
-        import math as _math
-
-        p = self.engine.products
-        last_ts = p.last_ts
-        out_rows = []
-        for rank in range(len(rows)):
-            s = float(scores[rank])
-            if not _math.isfinite(s):
-                continue
-            ridx = int(rows[rank])
-            sig = bd[rank]
-            out_rows.append({
-                "sku": p.skus[ridx],
-                "n_reviews": float(p.n_reviews[ridx]),
-                "avg_stars": float(p.avg_stars[ridx]),
-                **({"last_ts": last_ts[ridx]} if last_ts else {}),
-                "agg_text": p.agg_texts[ridx],
-                "_dense": float(sig[0]), "_bm25": float(sig[1]),
-                "_rerank": float(sig[2]), "_prior": float(sig[3]),
-                "_best": float(sig[4]), "_trust": float(sig[5]),
-                "_gate": float(sig[6]), "_final": s,
-            })
-        snips = {}
-        if req.use_snips and self.engine.reviews is not None and out_rows:
-            import numpy as np
-
-            result_rows = np.asarray(
-                [int(r) for r in rows[: len(out_rows)]], np.int64
-            )
-            # host CSR argmax recovers the displayed snippet text for the
-            # RESULT products (the pool-wide dict is a single-query luxury)
-            snips = self.engine._snippet_texts(req.qvec, result_rows)
-        from review_recommender_tpu.utils.text import (
-            build_gate_groups,
-            tokenize_query,
-        )
-
-        tokens = tokenize_query(req.query)
-        p = self.engine.products
-        bm25_active = config.ENABLE_BM25 and any(
-            p.idf[p.vocab[t]] > 0 for t in tokens if t in p.vocab
-        )
-        return {
-            "results": out_rows,
-            "snippets": snips,
-            "debug": {
-                "bm25_active": bool(bm25_active),
-                "tokens": tokens,
-                "groups": [sorted(g) for g in build_gate_groups(req.query)],
-                "pool": req.pool,
-                "gate_mode": self.engine.gate_mode,
-                "coalesced": batch_n,
-                "batch_ms": round(took_ms, 3),
-            },
-            "took_ms": round(took_ms, 3),
-        }
+            r.event.set()
 
 
 def _env_trace_enabled() -> bool:
@@ -333,6 +364,7 @@ class SearchService:
         self.stats = {"requests": 0, "errors": 0, "total_ms": 0.0}
         self.latency = LatencyStats()
         self._lock = threading.Lock()
+        self.native_stats = None  # hook filled by serve/native_server.py
         self.batcher = None
         if config.ENABLE_MICROBATCH and engine.gate_mode == "device":
             self.batcher = MicroBatcher(engine)
@@ -341,15 +373,20 @@ class SearchService:
         if self.batcher is not None:
             self.batcher.close()
 
-    def _batchable(self, payload: dict) -> bool:
+    def coalesce_eligible(self, payload: dict) -> bool:
         """A /search request can ride a coalesced program unless it needs
         the exact-mode snippet scan (max_scan), the only remaining
-        per-request host hook. Live-rerank requests coalesce too: the
-        batcher routes them through query_rerank_batched_pw, which shares
-        one cross-encoder pass across riders."""
-        if self.batcher is None:
+        per-request host hook, or the host gate mode. Live-rerank requests
+        coalesce too: query_rerank_batched_pw shares one cross-encoder
+        pass across riders. (Payload/engine eligibility only — which
+        dispatcher windows the riders, the Python MicroBatcher or the
+        native front end, is the caller's concern.)"""
+        if self.engine.gate_mode != "device":
             return False
         return int(payload.get("max_scan", 0) or 0) == 0
+
+    def _batchable(self, payload: dict) -> bool:
+        return self.batcher is not None and self.coalesce_eligible(payload)
 
     def _rerank_k_live(self, payload: dict) -> int:
         """Effective live-rerank depth for the coalesced path: 0 when the
@@ -362,7 +399,9 @@ class SearchService:
             return rerank_k
         return 0
 
-    def _coalesced_search(self, payload: dict) -> dict:
+    def parse_search_payload(self, payload: dict) -> _Pending:
+        """Parse a /search payload into a coalesced-path request (shared by
+        the Python micro-batcher and the native C++ front end)."""
         c = config
         g = lambda name, dflt: payload.get(name, dflt)
         k = int(g("k", c.DEFAULT_K))
@@ -384,24 +423,32 @@ class SearchService:
         else:
             qvec = self.engine.encode_query(payload["query"])
         use_snips = bool(g("use_snips", False)) and config.ENABLE_SNIPPETS
+        return _Pending(payload["query"], qvec, weights, k, pool, use_snips,
+                        rerank_k=self._rerank_k_live(payload))
+
+    def _coalesced_search(self, payload: dict) -> dict:
+        r = self.parse_search_payload(payload)
         return self.batcher.search(
-            payload["query"], qvec, weights, k, pool, use_snips,
-            rerank_k=self._rerank_k_live(payload),
+            r.query, r.qvec, r.weights, r.k, r.pool, r.use_snips,
+            rerank_k=r.rerank_k,
         )
 
     WARMUP_KS = (5, 10, 20)  # common top-k values; each k is its own program
 
-    def warmup(self, qvec_dim: Optional[int] = None) -> None:
+    def warmup(self, qvec_dim: Optional[int] = None,
+               coalesce_max_batch: Optional[int] = None) -> None:
         """Compile the query programs for the common k values so no user
         request pays a first-compile (each distinct k is a distinct XLA
-        program shape)."""
+        program shape). coalesce_max_batch: warm the coalesced bucket
+        programs up to this batch size even without a Python micro-batcher
+        (the native front end dispatches the same programs directly)."""
         dim = qvec_dim or self.engine.products.dim
         qvec = np.zeros(dim, np.float32)
         qvec[0] = 1.0
         ks = sorted(set(self.WARMUP_KS) | {int(self.engine_default_k())})
         for k in ks:
             self.engine.run_search("warmup query", qvec=qvec, k=k, rerank_k=0)
-        if self.batcher is not None:
+        if self.batcher is not None or coalesce_max_batch:
             # compile the coalesced program for EVERY bucket size at the
             # default k (the pool is k/rerank_k-independent below
             # DEFAULT_POOL_SIZE, so this covers the common request shape);
@@ -410,10 +457,16 @@ class SearchService:
                            config.DEFAULT_RERANK_K,
                            config.DEFAULT_POOL_SIZE),
                        self.engine.products.n_padded)
-            self.batcher.warmup_buckets(int(self.engine_default_k()), pool,
-                                        dim)
-            self.search({"query": "warmup query", "qvec": qvec.tolist(),
-                         "rerank_k": 0})
+            if self.batcher is not None:
+                self.batcher.warmup_buckets(int(self.engine_default_k()),
+                                            pool, dim)
+                self.search({"query": "warmup query", "qvec": qvec.tolist(),
+                             "rerank_k": 0})
+            else:
+                warmup_coalesced_buckets(
+                    self.engine, int(self.engine_default_k()), pool, dim,
+                    coalesce_max_batch,
+                )
         self.ready = True
 
     def engine_default_k(self) -> int:
@@ -586,64 +639,82 @@ class SearchService:
                  "max_batch": self.batcher.max_batch}
                 if self.batcher is not None else None
             ),
+            # set by serve/native_server.py when the C++ front end fields
+            # the requests (the Python micro-batcher is off in that mode)
+            "native_server": (
+                self.native_stats() if self.native_stats is not None
+                else None
+            ),
         }
+
+
+POST_ROUTES = {"/search": "search", "/eval": "evaluate",
+               "/search_batch": "search_batch", "/debug/trace": "trace"}
+
+
+def route_request(service: SearchService, method: str, path: str,
+                  body: bytes):
+    """Route one HTTP request -> (status, body_bytes, content_type). The
+    single source of routing truth for BOTH servers: the stdlib handler
+    below and the native front end's fallback callback
+    (serve/native_server.py) — every route answers identically no matter
+    which server fielded it."""
+    js = lambda code, obj: (code, json.dumps(obj).encode(),
+                            "application/json")
+    if method == "GET":
+        if path in ("/", "/index.html"):
+            from review_recommender_tpu.serve.ui import page
+
+            return (200, page(metrics_tab=config.ENABLE_METRICS_TAB).encode(),
+                    "text/html; charset=utf-8")
+        if path == "/healthz":
+            return js(200, {"status": "ok"})
+        if path == "/readyz":
+            return js(200 if service.ready else 503,
+                      {"ready": service.ready})
+        if path == "/debug/info":
+            return js(200, service.info())
+        return js(404, {"error": "not found"})
+    if method == "POST":
+        handler_name = POST_ROUTES.get(path)
+        if handler_name is None:
+            return js(404, {"error": "not found"})
+        if path == "/eval" and not config.ENABLE_METRICS_TAB:
+            return js(404, {"error": "metrics endpoint disabled "
+                                     "(ENABLE_METRICS_TAB=false)"})
+        try:
+            payload = json.loads(body or b"{}")
+            if not isinstance(payload, dict):
+                raise ValueError("payload must be a JSON object")
+            return js(200, getattr(service, handler_name)(payload))
+        except ValueError as e:
+            service.stats["errors"] += 1
+            return js(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            logger.exception("search failed")
+            service.stats["errors"] += 1
+            return js(500, {"error": f"{type(e).__name__}: {e}"})
+    return js(404, {"error": "not found"})
 
 
 def make_handler(service: SearchService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
-        def _send(self, code: int, obj: dict) -> None:
-            body = json.dumps(obj).encode()
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib API)
-            if self.path in ("/", "/index.html"):
-                from review_recommender_tpu.serve.ui import page
-
-                body = page(metrics_tab=config.ENABLE_METRICS_TAB).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html; charset=utf-8")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-            elif self.path == "/healthz":
-                self._send(200, {"status": "ok"})
-            elif self.path == "/readyz":
-                code = 200 if service.ready else 503
-                self._send(code, {"ready": service.ready})
-            elif self.path == "/debug/info":
-                self._send(200, service.info())
-            else:
-                self._send(404, {"error": "not found"})
-
-        ROUTES = {"/search": "search", "/eval": "evaluate",
-                  "/search_batch": "search_batch", "/debug/trace": "trace"}
+            self._reply(*route_request(service, "GET", self.path, b""))
 
         def do_POST(self):  # noqa: N802
-            handler_name = self.ROUTES.get(self.path)
-            if handler_name is None:
-                self._send(404, {"error": "not found"})
-                return
-            if self.path == "/eval" and not config.ENABLE_METRICS_TAB:
-                self._send(404, {"error": "metrics endpoint disabled "
-                                          "(ENABLE_METRICS_TAB=false)"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                self._send(200, getattr(service, handler_name)(payload))
-            except ValueError as e:
-                service.stats["errors"] += 1
-                self._send(400, {"error": str(e)})
-            except Exception as e:  # pragma: no cover - defensive
-                logger.exception("search failed")
-                service.stats["errors"] += 1
-                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            self._reply(*route_request(service, "POST", self.path, body))
 
         def log_message(self, fmt, *args):
             logger.debug("http: " + fmt, *args)

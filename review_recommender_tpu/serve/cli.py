@@ -119,6 +119,32 @@ def cmd_serve(args) -> int:
     engine = _load_engine(args.index_dir, args.gate_mode,
                           with_rerank=args.with_rerank,
                           dense_pool=args.dense_pool, shards=args.shards)
+    use_native = args.native or config.SERVE_NATIVE
+    if use_native:
+        from review_recommender_tpu.native import native_server_available
+
+        if not native_server_available():
+            print("native front end unavailable (build with "
+                  "`make -C review_recommender_tpu/native`); "
+                  "falling back to the stdlib server", flush=True)
+            use_native = False
+    if use_native:
+        import signal
+        import threading
+
+        from review_recommender_tpu.serve.native_server import serve_native
+
+        nsrv = serve_native(engine, host=args.host, port=args.port,
+                            warmup=True, warmup_async=True)
+        print(f"serving on http://{args.host}:{nsrv.port} "
+              f"(docs={engine.products.n_docs}, native front end); "
+              f"warming up in background", flush=True)
+        done = threading.Event()
+        signal.signal(signal.SIGINT, lambda *_: done.set())
+        signal.signal(signal.SIGTERM, lambda *_: done.set())
+        done.wait()
+        nsrv.close()
+        return 0
     srv = serve(engine, host=args.host, port=args.port, warmup_async=True)
     print(f"serving on http://{args.host}:{args.port} "
           f"(docs={engine.products.n_docs}); warming up in background",
@@ -471,11 +497,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-reviews", type=int, default=c.DEFAULT_MIN_REVIEWS)
     s.add_argument("--gate-penalty", type=float, default=c.DEFAULT_GATE_PENALTY)
     s.add_argument("--gate-mode", default=None, choices=[None, "host", "device"])
-    s.add_argument("--dense-pool", default=None, choices=[None, "exact", "striped"],
+    s.add_argument("--dense-pool", default=None, choices=[None, "auto", "exact", "striped"],
                    help="striped: 2-stage stripe-max stage-A pool — ~1.5-1.8x "
                         "faster, ~0.99 pool recall, measured quality parity "
                         "(evals_out/striped). Default: DENSE_POOL_MODE env "
-                        "(exact)")
+                        "(auto — striped from DENSE_POOL_AUTO_MIN padded "
+                        "rows up, exact below)")
     s.add_argument("--snippets", action="store_true")
     s.add_argument("--json-out")
     s.set_defaults(fn=cmd_search)
@@ -486,12 +513,16 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--port", type=int, default=c.APP_PORT)
     v.add_argument("--gate-mode", default=None)
     v.add_argument("--dense-pool", default=None,
-                   choices=[None, "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped"])
     v.add_argument("--with-rerank", action="store_true",
                    help="load the cross-encoder for rerank_k>0 requests")
     v.add_argument("--shards", type=int, default=None,
                    help="serve over an N-device corpus-sharded mesh "
                         "(default: MESH_SHARDS env, 1 = single chip)")
+    v.add_argument("--native", action="store_true",
+                   help="use the C++ epoll front end (native/server.cc): "
+                        "HTTP parse + micro-batch windowing in C++, one "
+                        "Python entry per window (also: SERVE_NATIVE env)")
     v.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser("audit", help="validate index artifacts")
@@ -507,7 +538,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-queries", type=int, default=64)
     b.add_argument("--dense-pool", default=None,
-                   choices=[None, "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped"])
     b.set_defaults(fn=cmd_bench)
 
     t = sub.add_parser(
@@ -554,7 +585,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write benchmark_results.json/CSV here")
     e.add_argument("--gate-mode", default=None)
     e.add_argument("--dense-pool", default=None,
-                   choices=[None, "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped"])
     e.add_argument("--no-warmup", action="store_true")
     e.set_defaults(fn=cmd_eval)
     return ap
