@@ -27,11 +27,38 @@ logger = logging.getLogger(__name__)
 _STATE = {"dir": None}
 
 
+def _machine_fingerprint() -> str:
+    """Host fingerprint the cache directory is keyed by. XLA's own cache
+    key does NOT cover the exact CPU feature set its CPU AOT results were
+    compiled for — loading an entry written under a different feature mix
+    logs 'machine features ... could lead to execution errors such as
+    SIGILL' and was observed here returning silently WRONG results (zeroed
+    outputs) rather than crashing. Keying the directory by (jax version,
+    arch, cpuinfo flags) makes entries from a differently-featured host
+    unreachable instead of subtly poisonous."""
+    import hashlib
+    import platform
+
+    import jax
+
+    bits = [jax.__version__, platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    bits.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(cache_dir: Optional[str] = None,
                          min_compile_secs: Optional[float] = None,
                          ) -> Optional[str]:
     """Point JAX's persistent compilation cache at `cache_dir` (default:
-    config.COMPILE_CACHE_DIR). Returns the active cache directory, or None
+    config.COMPILE_CACHE_DIR), under a per-host-fingerprint subdirectory
+    (see _machine_fingerprint). Returns the active cache directory, or None
     when disabled. Idempotent: once enabled, later calls return the active
     directory without re-configuring (jax_compilation_cache_dir is global
     process state)."""
@@ -40,7 +67,7 @@ def enable_compile_cache(cache_dir: Optional[str] = None,
     raw = config.COMPILE_CACHE_DIR if cache_dir is None else cache_dir
     if not raw:
         return None
-    path = Path(raw)
+    path = Path(raw) / f"host-{_machine_fingerprint()}"
     try:
         path.mkdir(parents=True, exist_ok=True)
     except OSError as e:  # unwritable target: serve without the cache

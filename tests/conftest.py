@@ -9,6 +9,13 @@ import os
 # Force-override: the image exports JAX_PLATFORMS=axon (the tunneled TPU);
 # tests must run on the virtual 8-device CPU mesh regardless.
 os.environ["JAX_PLATFORMS"] = os.environ.get("RRT_TEST_PLATFORM", "cpu")
+# Hermetic tests: never touch the persistent XLA compile cache. In-test
+# entry points (__graft_entry__, bench sections) would otherwise point the
+# whole process at data/xla_cache — and a stale entry compiled under a
+# different CPU feature set loads with an AOT machine-feature mismatch and
+# can return silently wrong results (observed: zeroed rerank scores that
+# made rerank-lane assertions flake run-to-run).
+os.environ["COMPILE_CACHE_DIR"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -44,7 +44,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from review_recommender_tpu.utils.compile_cache import enable_compile_cache
 active = enable_compile_cache(cache_dir={str(cache)!r}, min_compile_secs=0.0)
-assert active == {str(cache)!r}, active
+# entries land under a per-host-fingerprint subdir (machine-feature
+# mismatched executables must never be shared across hosts)
+assert active.startswith({str(cache)!r}) and "host-" in active, active
 # idempotent: a second call (even with another dir) keeps the first
 assert enable_compile_cache(cache_dir="/nonexistent-other") == active
 import jax.numpy as jnp
@@ -52,7 +54,7 @@ import numpy as np
 f = jax.jit(lambda x: (x @ x.T).sum())
 f(jnp.asarray(np.random.rand(32, 32), np.float32)).block_until_ready()
 import os
-entries = os.listdir({str(cache)!r})
+entries = os.listdir(active)
 assert entries, "no cache entries written"
 print("CACHE_OK", len(entries))
 """

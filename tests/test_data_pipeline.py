@@ -31,7 +31,9 @@ class FakeEncoder:
         self.calls += 1
         out = np.zeros((len(texts), self.dim), np.float32)
         for i, t in enumerate(texts):
-            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            import zlib
+
+            rng = np.random.default_rng(zlib.crc32(str(t).encode()))
             out[i] = rng.standard_normal(self.dim)
         return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
 

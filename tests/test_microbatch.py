@@ -247,9 +247,15 @@ class TestServiceRouting:
 
 
 def _fake_ce(query, texts):
-    """Deterministic (query, text) scoring hook."""
+    """Deterministic (query, text) scoring hook. zlib.crc32, NOT hash():
+    Python's string hash is salted per process (PYTHONHASHSEED), which
+    made rerank-column assertions flake run-to-run when a process's salt
+    happened to tie all top-k scores (a tied column min-maxes to zero)."""
+    import zlib
+
     return np.asarray(
-        [((hash((query, t[:50])) % 1000) / 1000.0) for t in texts],
+        [((zlib.crc32((query + "\x00" + t[:50]).encode()) % 1000) / 1000.0)
+         for t in texts],
         np.float32,
     )
 

@@ -24,7 +24,9 @@ def bundle():
 @pytest.fixture(scope="module")
 def engine(bundle):
     def enc(text):
-        rng = np.random.default_rng(abs(hash(text)) % (2**32))
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(text.encode()))
         v = rng.standard_normal(32).astype(np.float32)
         return v / np.linalg.norm(v)
 

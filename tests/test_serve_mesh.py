@@ -21,7 +21,9 @@ from tests.test_engine_parity import make_corpus
 
 
 def _enc(text):
-    rng = np.random.default_rng(abs(hash(text)) % (2**32))
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(text.encode()))  # stable per text
     v = rng.standard_normal(32).astype(np.float32)
     return v / np.linalg.norm(v)
 
@@ -223,9 +225,13 @@ class TestMeshServing:
             assert msrv.service.batcher.coalesced >= len(queries)
             for q in queries:
                 assert results[q] == expected[q], q
-                # the rerank signal actually contributed on the mesh
-                assert any(r["_rerank"] != 0.0
-                           for r in results[q]["results"]), q
+            # the rerank signal actually contributed on the mesh. Union
+            # over queries, not per query: a query whose reranked top-
+            # rerank_k candidates all miss the final top-k (or tie, min-
+            # maxing to zero) legitimately shows a zero column — the
+            # reference's engine has the same property.
+            assert any(r["_rerank"] != 0.0
+                       for q in queries for r in results[q]["results"])
         finally:
             msrv.shutdown()
             ssrv.shutdown()
