@@ -157,11 +157,99 @@ def format_search_result(engine, req, rows, scores, bd, batch_n,
     }
 
 
-def run_coalesced_batch(engine, batch, buckets=BATCH_BUCKETS, stats=None):
+def _row_fragment(engine, ridx: int) -> str:
+    """JSON fragment (no braces) of a result row's static fields — sku,
+    n_reviews, avg_stars, last_ts, agg_text — cached per engine. The
+    expensive part of serializing a /search response is re-escaping the
+    multi-KB agg_text through json.dumps on EVERY response; top results
+    repeat across queries, so caching the escaped fragment per row cuts
+    the host format cost of a 64-rider window severalfold. Built WITH
+    json.dumps so escaping/float formatting stays byte-identical to the
+    dict path."""
+    cache = engine.__dict__.setdefault("_row_json_frag", {})
+    frag = cache.get(ridx)
+    if frag is None:
+        p = engine.products
+        d = {
+            "sku": p.skus[ridx],
+            "n_reviews": float(p.n_reviews[ridx]),
+            "avg_stars": float(p.avg_stars[ridx]),
+        }
+        if p.last_ts:
+            d["last_ts"] = p.last_ts[ridx]
+        d["agg_text"] = p.agg_texts[ridx]
+        frag = json.dumps(d)[1:-1]
+        cache[ridx] = frag
+    return frag
+
+
+_SIG_FMT = (', "_dense": %r, "_bm25": %r, "_rerank": %r, "_prior": %r'
+            ', "_best": %r, "_trust": %r, "_gate": %r, "_final": %r}')
+
+
+def format_search_result_bytes(engine, req, rows, scores, bd, batch_n,
+                               took_ms) -> bytes:
+    """format_search_result, serialized: returns the response BODY bytes
+    directly, byte-identical to json.dumps(format_search_result(...))
+    (asserted by tests/test_native_server.py) but ~5x cheaper per rider —
+    static row fields come from the _row_fragment cache and only the
+    eight per-query floats are formatted fresh (%r of a float is
+    float.__repr__, exactly what json.dumps emits). Used by the native
+    front end, whose window callback is the serving host bottleneck."""
+    import math as _math
+
+    parts = []
+    for rank in range(len(rows)):
+        s = float(scores[rank])
+        if not _math.isfinite(s):
+            continue
+        sig = bd[rank]
+        parts.append(
+            "{" + _row_fragment(engine, int(rows[rank])) + _SIG_FMT % (
+                float(sig[0]), float(sig[1]), float(sig[2]), float(sig[3]),
+                float(sig[4]), float(sig[5]), float(sig[6]), s,
+            )
+        )
+    snips = {}
+    if req.use_snips and engine.reviews is not None and parts:
+        result_rows = np.asarray(
+            [int(r) for r in rows[: len(parts)]], np.int64
+        )
+        snips = engine._snippet_texts(req.qvec, result_rows)
+    from review_recommender_tpu.utils.text import (
+        build_gate_groups,
+        tokenize_query,
+    )
+
+    p = engine.products
+    tokens = tokenize_query(req.query)
+    bm25_active = config.ENABLE_BM25 and any(
+        p.idf[p.vocab[t]] > 0 for t in tokens if t in p.vocab
+    )
+    tail = json.dumps({
+        "snippets": snips,
+        "debug": {
+            "bm25_active": bool(bm25_active),
+            "tokens": tokens,
+            "groups": [sorted(g) for g in build_gate_groups(req.query)],
+            "pool": req.pool,
+            "gate_mode": engine.gate_mode,
+            "coalesced": batch_n,
+            "batch_ms": round(took_ms, 3),
+        },
+        "took_ms": round(took_ms, 3),
+    })[1:-1]
+    return ('{"results": [' + ", ".join(parts) + "], " + tail + "}").encode()
+
+
+def run_coalesced_batch(engine, batch, buckets=BATCH_BUCKETS, stats=None,
+                        formatter=format_search_result):
     """Execute a window of _Pending search requests as batched device
     programs, setting each request's .result or .error (events are NOT
     touched — the MicroBatcher wrapper does that; the native server has
-    none). stats, if given, gets .batches/.coalesced bumped."""
+    none). stats, if given, gets .batches/.coalesced bumped. formatter:
+    format_search_result (dict results, the Python server) or
+    format_search_result_bytes (pre-serialized, the native front end)."""
     from review_recommender_tpu.utils.numerics import device_fetch
 
     # group by program shape (k, pool, use_snips, rerank lane); weights
@@ -217,7 +305,7 @@ def run_coalesced_batch(engine, batch, buckets=BATCH_BUCKETS, stats=None):
             stats.coalesced += n
         for i, r in enumerate(reqs):
             try:
-                r.result = format_search_result(
+                r.result = formatter(
                     engine, r, rows[i], scores[i], bd[i], n, took
                 )
             except Exception as e:  # pragma: no cover - defensive

@@ -43,6 +43,7 @@ from review_recommender_tpu.native import (
 )
 from review_recommender_tpu.serve.api import (
     SearchService,
+    format_search_result_bytes,
     route_request,
     run_coalesced_batch,
 )
@@ -190,22 +191,28 @@ class NativeSearchServer:
                 self._reply(i, 500, {"error": f"{type(e).__name__}: {e}"})
         if not pendings:
             return
+        # pre-serialized results: the rider bodies come back as response
+        # BYTES (format_search_result_bytes), so the window callback never
+        # re-escapes multi-KB agg_texts through json.dumps per rider. The
+        # embedded took_ms is the device-batch time (vs the dict path's
+        # whole-window time — a sub-ms difference; both are timing fields
+        # excluded from the server-equality contract).
         run_coalesced_batch(service.engine, [p for _, p in pendings],
-                            stats=self.batch_stats)
+                            stats=self.batch_stats,
+                            formatter=format_search_result_bytes)
         took_s = time.perf_counter() - t0
+        took_ms = round(took_s * 1e3, 3)
         for i, p in pendings:
             if p.error is not None:
                 service.stats["errors"] += 1
                 self._reply(i, 500,
                             {"error": f"{type(p.error).__name__}: {p.error}"})
                 continue
-            out = p.result
-            out["took_ms"] = round(took_s * 1e3, 3)
             service.latency.record(took_s)
             with service._lock:
                 service.stats["requests"] += 1
-                service.stats["total_ms"] += out["took_ms"]
-            self._reply(i, 200, out)
+                service.stats["total_ms"] += took_ms
+            self._reply(i, 200, p.result)
 
     def _on_fallback(self, method, path, body, body_len):
         try:

@@ -167,6 +167,50 @@ class TestHTTP:
         assert code == 400 and "error" in body
 
 
+class TestBytesFormatter:
+    def test_byte_identical_to_dict_path(self, engine):
+        """format_search_result_bytes must equal
+        json.dumps(format_search_result(...)) byte-for-byte on the same
+        program outputs — the native front end puts its bytes directly on
+        the wire, so any drift is a silent server-equality break."""
+        from review_recommender_tpu.serve.api import (
+            SearchService,
+            format_search_result,
+            format_search_result_bytes,
+            run_coalesced_batch,
+        )
+
+        service = SearchService(engine)
+        try:
+            payloads = [
+                {"query": "yellow socks", "k": 4},
+                {"query": "wireless headphones", "k": 3, "w_dense": 0.7,
+                 "prior_C": 15.0, "use_snips": True},
+                {"query": "zzz qqq nothing", "k": 2},
+            ]
+            pendings = [service.parse_search_payload(p) for p in payloads]
+            captured = []
+
+            def capturing(eng, req, rows, scores, bd, n, took):
+                captured.append((req, rows, scores, bd, n, took))
+                return format_search_result(eng, req, rows, scores, bd, n,
+                                            took)
+
+            run_coalesced_batch(engine, pendings, formatter=capturing)
+            assert len(captured) == len(payloads)
+            for req, rows, scores, bd, n, took in captured:
+                want = json.dumps(format_search_result(
+                    engine, req, rows, scores, bd, n, took)).encode()
+                got = format_search_result_bytes(
+                    engine, req, rows, scores, bd, n, took)
+                assert got == want
+                # second call exercises the warm _row_fragment cache
+                assert format_search_result_bytes(
+                    engine, req, rows, scores, bd, n, took) == want
+        finally:
+            service.close()
+
+
 class TestAudit:
     def test_good_bundle_passes(self, bundle, tmp_path):
         from review_recommender_tpu.serve.audit import audit_index_dir
