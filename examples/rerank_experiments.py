@@ -313,6 +313,12 @@ def main(argv=None) -> int:
             cross = train_ce(products, queries, layers=2, mlm_steps=2000,
                              n_pairs=8192, seed=args.seed,
                              family_positives=2)
+        elif v == "trained-fam-big":
+            # capacity bump on the winning recipe: deeper trunk, longer
+            # MLM, more pairs — does scale widen the fam-positive win?
+            cross = train_ce(products, queries, layers=4,
+                             mlm_steps=args.mlm_steps_big, n_pairs=12288,
+                             seed=args.seed, family_positives=2)
         elif v == "trained-fam-eng":
             pairs, _tm = mine_training_pairs(train_docs, n_pairs=12288,
                                              seed=args.seed + 101)
