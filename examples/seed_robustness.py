@@ -36,6 +36,60 @@ def load_tables(dirs):
     return rows
 
 
+def load_query_deltas(dirs):
+    """Per-(seed, query) metric deltas (H+R minus H) from the per-query
+    detailed_results.csv each seed dir carries.
+
+    Seeds use fresh corpora/towers/queries, so every (seed, query) pair is
+    an independent draw of the same experiment — pooling them is the honest
+    unit for the paired tests below.
+    """
+    import csv
+
+    deltas = {m: [] for m in METRICS}
+    for d in dirs:
+        path = Path(d) / "detailed_results.csv"
+        if not path.exists():
+            continue
+        per = {}  # query_id -> {method: row}
+        with path.open() as fh:
+            for row in csv.DictReader(fh):
+                per.setdefault(row["query_id"], {})[row["method"]] = row
+        for qid, methods in sorted(per.items()):
+            if not all(meth in methods for meth in METHODS):
+                continue
+            for m in METRICS:
+                h = float(methods["Hybrid"][m])
+                hr = float(methods["Hybrid + Rerank"][m])
+                deltas[m].append(hr - h)
+    return deltas
+
+
+def sign_test_p(wins: int, losses: int) -> float:
+    """Two-sided exact binomial sign test p-value (ties excluded)."""
+    from math import comb
+
+    n = wins + losses
+    if n == 0:
+        return 1.0
+    k = min(wins, losses)
+    tail = sum(comb(n, i) for i in range(k + 1)) / 2.0**n
+    return min(1.0, 2.0 * tail)
+
+
+def bootstrap_ci(values, iters: int = 10_000, seed: int = 0,
+                 alpha: float = 0.05):
+    """Percentile bootstrap CI for the mean of paired deltas."""
+    import numpy as np
+
+    x = np.asarray(values, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(x), size=(iters, len(x)))
+    means = x[idx].mean(axis=1)
+    lo, hi = np.quantile(means, [alpha / 2, 1 - alpha / 2])
+    return float(x.mean()), float(lo), float(hi)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+",
@@ -83,6 +137,33 @@ def main(argv=None) -> int:
     for m in METRICS:
         lines.append(f"- {m}: rerank leads in {wins[m]}/{n} seeds"
                      + (f" (ties {ties[m]})" if ties[m] else ""))
+
+    # paired per-query statistics, pooled across seeds
+    deltas = load_query_deltas(args.dirs)
+    if any(deltas[m] for m in METRICS):
+        lines.append("")
+        lines.append("## Paired per-query statistics (pooled across seeds)")
+        lines.append("")
+        lines.append("Unit = one judged query on one seed's fresh corpus "
+                     "(delta = Hybrid+Rerank minus Hybrid). Exact two-sided "
+                     "sign test over non-tied queries; 95% percentile "
+                     "bootstrap CI (10k resamples) on the mean delta.")
+        lines.append("")
+        lines.append("| metric | n | mean Δ | 95% CI | wins/losses/ties "
+                     "| sign-test p |")
+        lines.append("|---|---|---|---|---|---|")
+        for m in METRICS:
+            d = deltas[m]
+            if not d:
+                continue
+            w = sum(1 for v in d if v > 1e-12)
+            l = sum(1 for v in d if v < -1e-12)
+            t = len(d) - w - l
+            mean, lo, hi = bootstrap_ci(d)
+            p = sign_test_p(w, l)
+            lines.append(
+                f"| {m} | {len(d)} | {mean:+.4f} | [{lo:+.4f}, {hi:+.4f}] "
+                f"| {w}/{l}/{t} | {p:.4g} |")
     report = "\n".join(lines) + "\n"
     print(report)
     if args.out:
