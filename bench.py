@@ -468,11 +468,40 @@ def main():
 
             xla_ms = chain(bm25_full_scores)
             pallas_ms = chain(bm25_full_scores_pallas)
+
+            # packed-transposed kernel (4 B/posting, corpus on the lane
+            # axis): the speed-of-light follow-up from examples/roofline.py
+            packed = engine._bm25_packed()
+            packed_ms = None
+            if packed is not None:
+                from review_recommender_tpu.ops.pallas import (
+                    bm25_full_scores_packed_pallas,
+                )
+
+                pk_t, dl_p, _valid_p = packed
+
+                def step_p(q_idf):
+                    s = bm25_full_scores_packed_pallas(
+                        pk_t, dl_p, q_terms, q_idf, engine.avgdl)
+                    return q_idf + 1e-12 * s[: q_idf.shape[0]]
+
+                step_p = jax.jit(step_p)
+                x = step_p(jnp.asarray(qf.q_idf))
+                jax.block_until_ready(x)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    x = step_p(x)
+                jax.block_until_ready(x)
+                packed_ms = (time.perf_counter() - t0) / 20 * 1e3
+
             print(json.dumps({
                 "tail_metric": f"full-corpus BM25 scan, N={n_docs} (compiled)",
                 "pallas_kernel_ms": round(pallas_ms, 3),
                 "xla_scan_ms": round(xla_ms, 3),
                 "speedup": round(xla_ms / pallas_ms, 2),
+                **({"packed_kernel_ms": round(packed_ms, 3),
+                    "packed_speedup_vs_xla": round(xla_ms / packed_ms, 2)}
+                   if packed_ms else {}),
             }))
 
     def _bench_enc(text):
