@@ -13,6 +13,7 @@ single engine (engine/search.py) behind every entry point.
   rrt bench   --index-dir DIR          (QPS/p50 on the loaded index)
   rrt train   --index-dir DIR --out D  (domain-adapt towers on the reviews)
   rrt eval    --index-dir DIR --queries f.jsonl  (IR metrics, method sweep)
+  rrt topics  --index-dir DIR --out D  (cluster reviews -> named topic cards)
 """
 from __future__ import annotations
 
@@ -420,6 +421,111 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_topics(args) -> int:
+    """The archived topic pipeline as ONE production command: cluster the
+    index's review embeddings (TPU spherical k-means), TF-IDF-name the
+    clusters, compute aspect impact metrics, and generate resume-safe topic
+    cards — the reference ran these as five separate scripts over DuckDB
+    (/root/reference/nlp/_archive/05_clustering.py, 06_name_topics.py,
+    07_aspect_metrics.py, 08_generate_topic_cards_qwen3bq4.py). `--bench`
+    runs the throughput estimator instead of writing cards (the archive's
+    standalone LLM-throughput tool, nlp/_archive/test.py:15-35): times a
+    topic sample per knob config and projects the full-run ETA.
+    """
+    from review_recommender_tpu.index.io import load_bundle
+    from review_recommender_tpu.topics.cards import (
+        benchmark_generator,
+        generate_topic_cards,
+        pick_quotes,
+    )
+    from review_recommender_tpu.topics.cluster import spherical_kmeans
+    from review_recommender_tpu.topics.naming import (
+        aspect_metrics,
+        map_label_to_aspect,
+        name_topics,
+        tfidf_topic_terms,
+    )
+
+    bundle = load_bundle(args.index_dir)
+    if bundle.reviews is None:
+        print("topics: index has no review embeddings "
+              "(build with reviews + review_embeddings)", file=sys.stderr)
+        return 1
+    rev = bundle.reviews
+    # valid marks the first n_reviews_total rows; texts/stars are the
+    # unpadded host metadata aligned with those rows (index/build.py)
+    m = int(rev.n_reviews_total)
+    emb = np.asarray(rev.rev_emb, np.float32)[:m]
+    texts = list(rev.rev_texts)[:m]
+    stars = np.asarray(rev.rev_stars, np.float32)[:m]
+    if len(texts) == 0:
+        print("topics: no valid reviews in index", file=sys.stderr)
+        return 1
+
+    k = min(int(args.k), len(texts))
+    topic_ids, centers = spherical_kmeans(emb, k=k, iters=args.iters,
+                                          seed=args.seed)
+
+    terms = tfidf_topic_terms(texts, topic_ids)
+    labels = name_topics(terms)
+
+    # per-topic rollup; tiny clusters are dropped like the reference's
+    # MIN_REVIEWS_PER_TOPIC filter (nlp/_archive/test.py:30)
+    topics = []
+    for tid in sorted(labels):
+        mask = topic_ids == tid
+        n = int(mask.sum())
+        if n < args.min_reviews:
+            continue
+        t_texts = [texts[i] for i in np.flatnonzero(mask)]
+        topics.append({
+            "topic_id": int(tid),
+            "label": labels[tid],
+            "aspect": map_label_to_aspect(labels[tid]),
+            "n_reviews": n,
+            "quotes": pick_quotes(t_texts, emb[mask], centers[tid],
+                                  n_quotes=args.n_quotes),
+        })
+    metrics = aspect_metrics(topic_ids, stars, labels)
+
+    if args.bench:
+        report = benchmark_generator(
+            topics,
+            configs={
+                "default": {},
+                "fast": {"n_quotes": 1, "max_chars": 120},
+            },
+            n_topics=args.sample_bench,
+            total_topics=len(topics),
+        )
+        print(json.dumps({"n_topics": len(topics), "configs": report},
+                         indent=2))
+        return 0
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    df = generate_topic_cards(
+        topics, out / "topic_cards.jsonl",
+        parquet_out=out / "topic_cards.parquet",
+    )
+    (out / "aspect_metrics.json").write_text(json.dumps(metrics, indent=2))
+    try:
+        import pandas as pd
+
+        pd.DataFrame([{k2: t[k2] for k2 in
+                       ("topic_id", "label", "aspect", "n_reviews")}
+                      for t in topics]).to_parquet(out / "topics.parquet",
+                                                   index=False)
+    except Exception:  # parquet backend missing: JSONL already on disk
+        pass
+    print(f"{len(df)} topic cards -> {out}/topic_cards.jsonl "
+          f"(+parquet, aspects in aspect_metrics.json)")
+    for row in metrics[:5]:
+        print(f"  aspect={row['aspect']:<12} n={row['n_reviews']:<6} "
+              f"avg_stars={row['avg_stars']} lost={row['lost_rating']}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     """IR-metric evaluation of a live index against judged queries — the
     reference's evals/run_benchmark.py flow as a production command.
@@ -588,6 +694,25 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "auto", "exact", "striped"])
     e.add_argument("--no-warmup", action="store_true")
     e.set_defaults(fn=cmd_eval)
+
+    tp = sub.add_parser(
+        "topics", help="cluster reviews into named topics + cards"
+    )
+    tp.add_argument("--index-dir", required=True)
+    tp.add_argument("--out", default="topics_out",
+                    help="output dir (cards JSONL/parquet, aspect metrics)")
+    tp.add_argument("--k", type=int, default=24, help="number of clusters")
+    tp.add_argument("--iters", type=int, default=25)
+    tp.add_argument("--seed", type=int, default=0)
+    tp.add_argument("--min-reviews", type=int, default=5,
+                    help="drop topics smaller than this")
+    tp.add_argument("--n-quotes", type=int, default=3)
+    tp.add_argument("--bench", action="store_true",
+                    help="time card generation + project full-run ETA "
+                         "instead of writing cards")
+    tp.add_argument("--sample-bench", type=int, default=8,
+                    help="topics to time with --bench")
+    tp.set_defaults(fn=cmd_topics)
     return ap
 
 

@@ -176,3 +176,61 @@ class TestThroughputBenchmark:
         # knobs actually applied: first 4 calls saw 2 quotes, next 4 saw 6
         assert seen_quote_counts[:4] == [2, 2, 2, 2]
         assert seen_quote_counts[4:] == [6, 6, 6, 6]
+
+
+class TestTopicsCLI:
+    @pytest.fixture(scope="class")
+    def index_dir(self, tmp_path_factory):
+        from review_recommender_tpu.index.build import (
+            build_bundle_from_products,
+        )
+        from review_recommender_tpu.index.io import save_bundle
+        from tests.test_engine_parity import make_corpus
+
+        products, emb, reviews, remb = make_corpus(n=24, dim=32, seed=11)
+        d = tmp_path_factory.mktemp("topics_cli") / "idx"
+        save_bundle(
+            build_bundle_from_products(
+                products, emb, reviews=reviews, review_embeddings=remb,
+                pad_multiple=8, doc_terms_cap=32,
+            ),
+            d,
+        )
+        return str(d)
+
+    def test_topics_subcommand_writes_cards(self, index_dir, tmp_path,
+                                            capsys):
+        from review_recommender_tpu.serve.cli import main
+
+        out = tmp_path / "topics_out"
+        rc = main(["topics", "--index-dir", index_dir, "--out", str(out),
+                   "--k", "4", "--iters", "5", "--min-reviews", "1"])
+        assert rc == 0
+        lines = [json.loads(l)
+                 for l in (out / "topic_cards.jsonl").read_text().splitlines()]
+        assert lines and all(
+            {"topic_id", "label", "headline", "summary"} <= set(r)
+            for r in lines
+        )
+        metrics = json.loads((out / "aspect_metrics.json").read_text())
+        assert metrics and all("lost_rating" in m for m in metrics)
+        # resume: a second run appends nothing new
+        n_before = len(lines)
+        rc = main(["topics", "--index-dir", index_dir, "--out", str(out),
+                   "--k", "4", "--iters", "5", "--min-reviews", "1"])
+        assert rc == 0
+        n_after = len((out / "topic_cards.jsonl").read_text().splitlines())
+        assert n_after == n_before
+
+    def test_topics_subcommand_bench(self, index_dir, capsys):
+        from review_recommender_tpu.serve.cli import main
+
+        rc = main(["topics", "--index-dir", index_dir, "--bench",
+                   "--k", "4", "--iters", "5", "--min-reviews", "1",
+                   "--sample-bench", "2"])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["n_topics"] >= 1
+        assert set(report["configs"]) == {"default", "fast"}
+        for cfg in report["configs"].values():
+            assert cfg["eta_s_for_total"] >= 0
