@@ -13,6 +13,12 @@ Endpoints:
   GET  /healthz           liveness: {"status": "ok"}  (Docker HEALTHCHECK)
   GET  /readyz            readiness: index + encoder loaded, warmup done
   GET  /debug/info        corpus stats, rolling latency percentiles
+  GET  /metrics           Prometheus text exposition of the same counters
+                          (request totals, latency quantiles, micro-batch
+                          and native-front-end counters) — the reference's
+                          README lists a monitoring dashboard as
+                          aspirational (README.md:413-418); this is the
+                          real scrape surface
   POST /search            {"query": "...", "k": 10, ...engine knobs...}
                           -> {"results": [...], "snippets": {...},
                               "debug": {...}, "took_ms": float}
@@ -735,6 +741,55 @@ class SearchService:
             ),
         }
 
+    def metrics_text(self) -> str:
+        """GET /metrics: Prometheus text exposition (format 0.0.4) of the
+        serving counters — request/error totals, rolling latency quantiles,
+        micro-batcher and native-front-end counters, index gauges."""
+        lines = []
+
+        def emit(name, value, mtype, help_=None, labels=""):
+            if help_:
+                lines.append(f"# HELP {name} {help_}")
+                lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name}{labels} {value}")
+
+        emit("rrt_requests_total", int(self.stats["requests"]), "counter",
+             "Search requests served")
+        emit("rrt_errors_total", int(self.stats["errors"]), "counter",
+             "Requests that returned an error")
+        emit("rrt_request_seconds_sum",
+             round(self.stats["total_ms"] / 1e3, 6), "counter",
+             "Total request wall time")
+        lat = self.latency.summary()
+        if lat.get("count"):
+            lines.append("# HELP rrt_request_latency_seconds Rolling "
+                         "request latency (4096-sample reservoir)")
+            lines.append("# TYPE rrt_request_latency_seconds summary")
+            for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms"),
+                           ("0.99", "p99_ms")):
+                lines.append(
+                    f'rrt_request_latency_seconds{{quantile="{q}"}} '
+                    f'{lat[key] / 1e3:.6f}')
+            lines.append(f"rrt_request_latency_seconds_count {lat['count']}")
+        emit("rrt_ready", int(bool(self.ready)), "gauge",
+             "1 once warmup completed")
+        p = self.engine.products
+        emit("rrt_index_docs", int(p.n_docs), "gauge", "Corpus documents")
+        emit("rrt_index_has_reviews", int(self.engine.reviews is not None),
+             "gauge", "1 when review embeddings are loaded")
+        if self.batcher is not None:
+            emit("rrt_microbatch_windows_total", int(self.batcher.batches),
+                 "counter", "Micro-batch windows executed")
+            emit("rrt_microbatch_coalesced_total",
+                 int(self.batcher.coalesced), "counter",
+                 "Requests that rode a shared window")
+        if self.native_stats is not None:
+            ns = self.native_stats() or {}
+            for k, v in sorted(ns.items()):
+                if isinstance(v, (int, float)):
+                    emit(f"rrt_native_{k}", v, "counter")
+        return "\n".join(lines) + "\n"
+
 
 POST_ROUTES = {"/search": "search", "/eval": "evaluate",
                "/search_batch": "search_batch", "/debug/trace": "trace"}
@@ -762,6 +817,9 @@ def route_request(service: SearchService, method: str, path: str,
                       {"ready": service.ready})
         if path == "/debug/info":
             return js(200, service.info())
+        if path == "/metrics":
+            return (200, service.metrics_text().encode(),
+                    "text/plain; version=0.0.4; charset=utf-8")
         return js(404, {"error": "not found"})
     if method == "POST":
         handler_name = POST_ROUTES.get(path)

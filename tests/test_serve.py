@@ -98,6 +98,25 @@ class TestHTTP:
         assert body["stats"]["requests"] >= 1
         assert "latency" in body
 
+    def test_metrics_prometheus(self, server):
+        # after at least one /search the exposition must carry counters,
+        # latency quantiles and index gauges in Prometheus text format
+        import urllib.request
+
+        _post(server + "/search", {"query": "blue mouse", "k": 3,
+                                   "rerank_k": 0})
+        with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE rrt_requests_total counter" in text
+        n_req = int([l for l in text.splitlines()
+                     if l.startswith("rrt_requests_total")][0].split()[1])
+        assert n_req >= 1
+        assert 'rrt_request_latency_seconds{quantile="0.5"}' in text
+        assert "rrt_index_docs 24" in text
+        assert "rrt_ready 1" in text
+
     def test_debug_trace(self, server, tmp_path):
         # a client-supplied log_dir must be IGNORED (arbitrary-path write
         # hardening): the trace always lands under LOG_FILE's parent
