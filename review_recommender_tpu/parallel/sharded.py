@@ -236,6 +236,8 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
 
         self.featurizer = QueryFeaturizer(prod, query_terms_cap=config.QUERY_TERMS_CAP)
         self._compiled = {}
+        self._bm25_packed_cache = False  # False = unresolved, None = n/a
+        self._pallas_interpret = False  # tests flip on CPU meshes
         self._be = None  # attach_models wires the on-mesh e2e path
         self._ce = None
         self.dtype = dtype  # serve/api.py info() surface parity
@@ -1235,8 +1237,136 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         idx, scores = fn(emb_arrays, jnp.asarray(qvec, jnp.float32))
         return idx, scores
 
+    # ------------------------------------------------- packed BM25 (Pallas)
+    def _pallas_ok(self) -> bool:
+        """Same gating as the single-chip engine (engine/search.py): Pallas
+        enabled + every mesh device is a TPU."""
+        if not config.USE_PALLAS:
+            return False
+        try:
+            plat = self.mesh.devices.flat[0].platform.lower()
+        except Exception:
+            return False
+        return plat in ("tpu", "axon") or self._pallas_interpret
+
+    def _bm25_packed_sharded(self):
+        """Lazy packed-transposed postings laid out for the MESH: each
+        shard's contiguous row block packs to (L, per_p) with per_p the
+        local row count rounded up to the kernel tile, concatenated to
+        (L, n_shards*per_p) and column-sharded — so every chip's local
+        slice covers exactly its own rows and a local kernel index maps to
+        global row `shard*per + i`. Same lossless-pack and HBM-fit guards
+        as the single-chip cache (engine/search.py:_bm25_packed); None
+        means callers fall back to the XLA scan block."""
+        if self._bm25_packed_cache is not False:
+            return self._bm25_packed_cache
+        self._bm25_packed_cache = None
+        try:
+            from review_recommender_tpu.index.schema import check_hbm_fit
+            from review_recommender_tpu.ops.pallas.bm25_kernel import (
+                TILE_N_PACKED,
+                pack_postings,
+            )
+
+            prod = self.products
+            per = self._local_rows
+            n_pad = per * self.n_shards
+            terms = _pad_rows_to(np.asarray(prod.doc_terms), n_pad)
+            tf = _pad_rows_to(np.asarray(prod.doc_tf), n_pad)
+            per_p = -(-per // TILE_N_PACKED) * TILE_N_PACKED
+            blocks = []
+            for s in range(self.n_shards):
+                blk = pack_postings(terms[s * per:(s + 1) * per],
+                                    tf[s * per:(s + 1) * per])
+                if blk is None:  # unpackable corpus (tf>255 / vocab>=2^24)
+                    return None
+                blocks.append(blk)  # (L, per_p) — pack pads to the tile
+            pk = np.concatenate(blocks, axis=1)  # (L, n_shards*per_p)
+
+            extra_per_dev = pk.nbytes // self.n_shards
+            base = int(self.hbm_report.get("per_device_bytes") or 0)
+            if not check_hbm_fit(base + extra_per_dev)["fits"]:
+                logger.warning(
+                    "skipping packed BM25 postings on the mesh: +%d MiB "
+                    "per device would exceed the HBM budget",
+                    extra_per_dev >> 20)
+                return None
+
+            def expand(vec, fill=0):
+                v = _pad_rows_to(np.asarray(vec), n_pad)
+                v = v.reshape(self.n_shards, per)
+                if per_p != per:
+                    v = np.pad(v, ((0, 0), (0, per_p - per)),
+                               constant_values=fill)
+                return v.reshape(-1)
+
+            col = NamedSharding(self.mesh, P(None, self.axis))
+            row = NamedSharding(self.mesh, P(self.axis))
+            self._bm25_packed_cache = (
+                jax.device_put(pk, col),
+                jax.device_put(expand(prod.doc_len).astype(np.float32), row),
+                jax.device_put(expand(prod.valid).astype(bool), row),
+            )
+        except Exception:  # pragma: no cover - degrade to the XLA block
+            logger.warning("packed BM25 postings unavailable on the mesh",
+                           exc_info=True)
+        return self._bm25_packed_cache
+
+    def _bm25_packed_block(self, pk, dl, valid, q_terms, q_idf, *, k):
+        """Per-device body: packed single-pass kernel over the LOCAL
+        (L, per_p) slice, local top-k, allgather merge — the packed analog
+        of _bm25_block."""
+        from review_recommender_tpu.ops.pallas import (
+            bm25_full_scores_packed_pallas,
+        )
+
+        ax = self.axis
+        per = self._local_rows
+        scores = bm25_full_scores_packed_pallas(
+            pk, dl, q_terms, q_idf, self.avgdl,
+            interpret=self._pallas_interpret,
+        )
+        scores = jnp.where(valid, scores, -jnp.inf)
+        kl = min(k, scores.shape[0])
+        s, i = jax.lax.top_k(scores, kl)
+        # tile-alignment pad columns are invalid (-inf) but would alias the
+        # NEXT shard's rows once offset — clamp into the local row range
+        i = jnp.minimum(i, per - 1)
+        all_s = jax.lax.all_gather(s, ax).reshape(-1)
+        all_i = jax.lax.all_gather(i + jax.lax.axis_index(ax) * per,
+                                   ax).reshape(-1)
+        ke = min(k, all_s.shape[0])
+        top_s, sel = jax.lax.top_k(all_s, ke)
+        return jnp.take(all_i, sel), top_s
+
+    def _get_bm25_packed(self, k: int):
+        key = ("bm25_packed", k)
+        if key not in self._compiled:
+            ax = self.axis
+            rep = P()
+            fn = jax.shard_map(
+                functools.partial(self._bm25_packed_block, k=k),
+                mesh=self.mesh,
+                in_specs=(P(None, ax), P(ax), P(ax), rep, rep),
+                out_specs=(rep, rep), check_vma=False,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
     def bm25_topk(self, query: str, k: int):
         qf = self.featurizer.featurize(query)
+        packed = self._bm25_packed_sharded() if self._pallas_ok() else None
+        if packed is not None:
+            # packed-transposed kernel per shard (4 B/posting, corpus rows
+            # on the lane axis) — bit-identical scores to the XLA block
+            # (tested), 4.3x the scan at N=200k on one chip
+            pk, dl, vd = packed
+            idx, scores = self._get_bm25_packed(k)(
+                pk, dl, vd, jnp.asarray(qf.q_terms), jnp.asarray(qf.q_idf)
+            )
+            # -inf tails may carry re-padded row ids >= the bundle's row
+            # space; clamp so host callers can always index the sku table
+            return jnp.minimum(idx, self.products.n_padded - 1), scores
         fn = self._get_simple("bm25", k)
         if "doc_bm25" in self.arrays:  # eager postings
             tf_or_bm25, dl = self.arrays["doc_bm25"], None

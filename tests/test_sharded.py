@@ -81,6 +81,43 @@ class TestBM25Sharded:
         )
 
 
+class TestBM25PackedSharded:
+    def test_packed_mesh_matches_oracle(self, bundle, corpus):
+        """Force the packed-transposed kernel (interpret mode) through the
+        mesh bm25_topk and check against the rank_bm25 oracle + the XLA
+        block's output."""
+        products, *_ = corpus
+        from review_recommender_tpu.utils.text import (
+            tokenize_document,
+            tokenize_query,
+        )
+
+        eng = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+        eng._pallas_interpret = True  # CPU mesh: interpret-mode kernel
+        assert eng._pallas_ok()
+        query = "wireless bluetooth headphones noise cancelling"
+        k = 15
+        idx, scores = eng.bm25_topk(query, k=k)
+        assert eng._bm25_packed_cache is not None  # packed path taken
+
+        texts = [p["agg_text"] for p in products]
+        bm25 = oracle.BM25OkapiOracle([tokenize_document(t) for t in texts])
+        ref = bm25.get_scores(tokenize_query(query))
+        order = np.argsort(-ref, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores))[::-1], np.sort(ref[order])[::-1],
+            rtol=1e-4, atol=1e-5,
+        )
+        assert int(np.asarray(idx).max()) < bundle.products.n_padded
+
+        # and bit-parity of the kept scores vs the XLA scan block
+        plain = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32")
+        idx2, scores2 = plain.bm25_topk(query, k=k)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(scores)), np.sort(np.asarray(scores2))
+        )
+
+
 class TestFusedSharded:
     @pytest.mark.parametrize("query,seed", [
         ("yellow cat socks", 21),
