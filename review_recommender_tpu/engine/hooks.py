@@ -1,0 +1,117 @@
+"""Split-path host hooks shared by the single-chip and mesh engines.
+
+run_search's split path (stage A -> host hooks -> stage B) needs three
+host-side blocks between the device stages: the cross-encoder rerank lanes,
+the gate factors (exact substring semantics in host mode), and the
+best-snippet signal + texts. Both engines used to carry private copies of
+this block and they drifted (the coalesced-rerank has_snips predicate bug
+was exactly this class of drift), so the block lives here once.
+
+Reference semantics being reproduced, per hook:
+  rerank    zero scores still occupy the rerank lanes when the model is
+            missing/disabled (app/app_product_search.py:275,279), texts
+            truncated to 2000 chars (app:273)
+  gate      host mode = exact substring matching over text[:6000]
+            (app:228-236,298-302); device mode = penalty^misses from the
+            stage-A group-hit counters
+  snippets  max_scan > 0 / -1 = the reference's truncated host scan
+            (app:320-346); default = full device sweep, negative sims kept
+            ((best_raw != 0).any() decides whether the lane was computed)
+
+Requires: self.products, self.reviews, self.cross_encoder, self.gate_mode,
+HostSnippetsMixin (_exact_snippets/_snippet_texts), and an engine-specific
+`_snippet_scores_full(qvec) -> (n_docs,) device array` (segment-max best
+review sim per product, SNIPPET_NONE where a product has none).
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from review_recommender_tpu.config import config
+from review_recommender_tpu.utils.numerics import device_fetch
+from review_recommender_tpu.utils.text import calculate_gate_factor
+
+SNIPPET_NONE = -1e30  # sentinel: product has no scored review
+
+
+class SplitPathHooksMixin:
+    def _split_host_hooks(
+        self,
+        query: str,
+        groups,
+        qvec,
+        cand_rows: np.ndarray,
+        n_pool: int,
+        *,
+        rerank_k: int,
+        gate_pen_h: float,
+        use_snips_eff: bool,
+        max_scan: int,
+        gate_hits=None,
+        n_groups=None,
+        timer=None,
+    ) -> Tuple[np.ndarray, np.ndarray, object, np.ndarray, bool, Dict]:
+        """Returns (rerank_raw, rerank_mask, gate, best_raw, has_snips,
+        snips). `gate_hits`/`n_groups` are the stage-A counters (device or
+        host arrays) consumed only in device-gate mode."""
+        stage = timer.stage if timer is not None else (
+            lambda _name: contextlib.nullcontext())
+        cand_texts = [self.products.agg_texts[int(i)] for i in cand_rows]
+        n_cand = len(cand_texts)
+
+        # ---- cross-encoder rerank lanes ----
+        rerank_raw = np.zeros(n_pool, np.float32)
+        rerank_mask = np.zeros(n_pool, bool)
+        if rerank_k > 0:
+            rr_k = min(int(rerank_k), n_cand)
+            if rr_k > 0:
+                if self.cross_encoder is not None and config.ENABLE_RERANKING:
+                    texts = [t[:2000] for t in cand_texts[:rr_k]]
+                    with stage("rerank"):
+                        rerank_raw[:rr_k] = np.asarray(
+                            self.cross_encoder(query, texts),
+                            dtype=np.float32,
+                        )
+                rerank_mask[:rr_k] = True
+
+        # ---- gate ----
+        if self.gate_mode == "host":
+            gate_h = np.ones(n_pool, np.float32)
+            for i, text in enumerate(cand_texts):
+                gf, _, _ = calculate_gate_factor(text[:6000], groups,
+                                                 gate_pen_h)
+                gate_h[i] = gf
+            gate = jnp.asarray(gate_h)
+        else:
+            gate = jnp.power(
+                jnp.float32(gate_pen_h),
+                (jnp.asarray(n_groups)
+                 - jnp.asarray(gate_hits)).astype(jnp.float32),
+            )
+
+        # ---- snippets ----
+        best_raw = np.zeros(n_pool, np.float32)
+        snips: Dict[str, dict] = {}
+        has_snips = False
+        if use_snips_eff and max_scan != 0:
+            cap = max_scan if max_scan > 0 else config.MAX_REVIEWS_SCAN
+            with stage("snippets_exact"):
+                best_by_row, snips = self._exact_snippets(qvec, cand_rows,
+                                                          cap)
+            for i, row in enumerate(cand_rows):
+                best_raw[i] = best_by_row.get(int(row), 0.0)
+            has_snips = bool((best_raw != 0).any())
+        elif use_snips_eff:
+            (best_full,) = device_fetch(self._snippet_scores_full(qvec))
+            for i, row in enumerate(cand_rows):
+                v = best_full[int(row)]
+                if v > SNIPPET_NONE:
+                    best_raw[i] = v
+            has_snips = bool((best_raw != 0).any())
+            if has_snips:
+                snips = self._snippet_texts(qvec, cand_rows)
+        return rerank_raw, rerank_mask, gate, best_raw, has_snips, snips

@@ -35,6 +35,7 @@ import pandas as pd
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.engine.hooks import SNIPPET_NONE, SplitPathHooksMixin
 from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle
@@ -48,12 +49,10 @@ from review_recommender_tpu.ops.fusion import (
 from review_recommender_tpu.ops.gate import gate_factors_device
 from review_recommender_tpu.ops.segment import best_review_scores
 from review_recommender_tpu.utils.numerics import device_fetch
-from review_recommender_tpu.utils.text import calculate_gate_factor
 
 logger = logging.getLogger(__name__)
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
-SNIPPET_NONE = -1e30  # sentinel: product has no scored review
 
 
 def build_pairs_device(cls_id, sep_id, q_raw, q_len, d_tok, d_len):
@@ -97,7 +96,8 @@ def encode_query_ids_device(cls_id, sep_id, q_raw, q_len):
     return b_ids, b_mask
 
 
-class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
+class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
+                   SplitPathHooksMixin):
     def __init__(
         self,
         bundle: IndexBundle,
@@ -299,6 +299,11 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         return res, scores, pos
 
     # ------------------------------------------------------------- jit snippets
+    def _snippet_scores_full(self, qvec):
+        """SplitPathHooksMixin hook: (n_docs,) best review sim per product
+        (SNIPPET_NONE where a product has none)."""
+        return self._snippet_scores(self.rev_arrays, qvec)
+
     def _snippet_scores_impl(self, r, qvec):
         return best_review_scores(
             r["rev_emb"], r["rev_product"], r["rev_valid"], qvec, self.n_docs
@@ -318,7 +323,10 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
                 jnp.where(best_full > SNIPPET_NONE, best_full, 0.0)
             )
             best_raw = jnp.where(use_snips, jnp.take(best_pad, st["idx"]), 0.0)
-            has_snips = use_snips & jnp.any(best_raw > 0)
+            has_snips = use_snips & jnp.any(best_raw != 0)  # != 0, not > 0:
+                # the host split path keeps all-negative sims as a computed
+                # lane ((best_raw != 0).any()) and the fusion minmaxes them;
+                # > 0 would silently zero the lane and drift from run_search
         else:
             best_raw = jnp.zeros(P, jnp.float32)
             has_snips = jnp.bool_(False)
@@ -368,7 +376,10 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
                 best_raw = jnp.where(
                     use_snips, jnp.take(best_pad, st["idx"]), 0.0
                 )
-                has_snips = use_snips & jnp.any(best_raw > 0)
+                has_snips = use_snips & jnp.any(best_raw != 0)  # != 0, not > 0:
+                # the host split path keeps all-negative sims as a computed
+                # lane ((best_raw != 0).any()) and the fusion minmaxes them;
+                # > 0 would silently zero the lane and drift from run_search
             else:
                 best_raw = jnp.zeros(pool, jnp.float32)
                 has_snips = jnp.bool_(False)
@@ -732,72 +743,18 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
             idx, cand_valid_h = device_fetch(st["idx"], st["cand_valid"])
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
-        cand_skus = [self.products.skus[i] for i in cand_rows]
-        cand_texts = [self.products.agg_texts[i] for i in cand_rows]
 
         P = idx.shape[0]
 
-        # ---- cross-encoder rerank (host model call) ----
-        # ENABLE_RERANKING=false degrades like a failed cross-encoder load:
-        # zero scores still occupy the rerank lanes (reference app:275,279)
-        rerank_raw = np.zeros(P, np.float32)
-        rerank_mask = np.zeros(P, bool)
-        if rerank_k > 0 and self.cross_encoder is not None and c.ENABLE_RERANKING:
-            rr_k = min(rerank_k, n_cand)
-            if rr_k > 0:
-                texts = [t[:2000] for t in cand_texts[:rr_k]]
-                with timer.stage("rerank"):
-                    scores = np.asarray(
-                        self.cross_encoder(query, texts), dtype=np.float32
-                    )
-                rerank_raw[:rr_k] = scores
-                rerank_mask[:rr_k] = True
-        elif rerank_k > 0:
-            # reference behavior when the cross-encoder failed to load:
-            # zero scores still occupy the rerank lanes (app:275,279)
-            rr_k = min(rerank_k, n_cand)
-            rerank_mask[:rr_k] = True
-
-        # ---- gate ----
-        if self.gate_mode == "host":
-            gate_h = np.ones(P, np.float32)
-            for i, text in enumerate(cand_texts):
-                gf, _, _ = calculate_gate_factor(
-                    text[:6000], qf.groups, gate_pen_h
-                )
-                gate_h[i] = gf
-            gate = jnp.asarray(gate_h)
-        else:
-            gate = jnp.power(
-                w.gate_penalty,
-                (st["n_groups"] - st["gate_hits"]).astype(jnp.float32),
-            )
-
-        # ---- snippets ----
-        best_raw = np.zeros(P, np.float32)
-        snips: Dict[str, dict] = {}
-        has_snips = False
-        use_snips = bool(use_snips) and c.ENABLE_SNIPPETS
-        max_scan = int(max_scan or 0)
-        if use_snips and self.reviews is not None and max_scan != 0:
-            # opt-in exact mode: reference truncation semantics (app:320-346)
-            cap = max_scan if max_scan > 0 else c.MAX_REVIEWS_SCAN
-            with timer.stage("snippets_exact"):
-                best_by_row, snips = self._exact_snippets(qvec, cand_rows, cap)
-            for i, row in enumerate(cand_rows):
-                best_raw[i] = best_by_row.get(int(row), 0.0)
-            has_snips = bool((best_raw != 0).any())
-        elif use_snips and self.reviews is not None:
-            (best_full,) = device_fetch(
-                self._snippet_scores(self.rev_arrays, qvec)
-            )
-            for i, row in enumerate(cand_rows):
-                v = best_full[row]
-                if v > SNIPPET_NONE:
-                    best_raw[i] = v
-            has_snips = bool((best_raw != 0).any())
-            if has_snips:
-                snips = self._snippet_texts(qvec, cand_rows)
+        # host hooks (rerank lanes / gate / snippets): ONE shared block for
+        # both engines — engine/hooks.py (the predicates here drifted once)
+        (rerank_raw, rerank_mask, gate, best_raw, has_snips,
+         snips) = self._split_host_hooks(
+            query, qf.groups, qvec, cand_rows, P,
+            rerank_k=rerank_k, gate_pen_h=gate_pen_h,
+            use_snips_eff=use_snips_eff, max_scan=int(max_scan or 0),
+            gate_hits=st["gate_hits"], n_groups=st["n_groups"], timer=timer,
+        )
 
         timer_fuse = timer.stage("fuse")
         timer_fuse.__enter__()

@@ -104,6 +104,13 @@ struct Server {
   std::unordered_map<int, Conn*> conns;
   std::vector<Pending> pending;
   bool timer_armed = false;
+  // full-window dispatch request. parse_loop must NEVER run dispatch_batch
+  // synchronously: dispatching frames replies and can close connections
+  // (flush failure / Connection: close), and a parse_loop frame for one of
+  // those connections may still be live on the stack below us — it would
+  // resume on a freed Conn. Instead the flag is drained at the event-loop
+  // top level, where no parse frame is live.
+  bool dispatch_now = false;
 
   // reply slots for the in-flight callback (loop thread only)
   std::vector<Reply> replies;
@@ -242,9 +249,11 @@ void dispatch_batch(Server* s) {
     if (flush_out(s, c)) parse_loop(s, c);  // resume pipelined input
   }
   if (!s->pending.empty()) {
-    // more arrived than max_batch while dispatching
+    // more arrived than max_batch while dispatching — request another
+    // top-level pass (no recursion: the resumed parse_loops above may
+    // still reference conns a recursive dispatch could close)
     if (static_cast<int64_t>(s->pending.size()) >= s->max_batch)
-      dispatch_batch(s);
+      s->dispatch_now = true;
     else
       arm_timer(s);
   }
@@ -345,7 +354,9 @@ void parse_loop(Server* s, Conn* c) {
       c->waiting = true;
       s->pending.push_back({c, std::move(body)});
       if (static_cast<int64_t>(s->pending.size()) >= s->max_batch)
-        dispatch_batch(s);
+        s->dispatch_now = true;  // drained at event-loop top level — a
+        // synchronous dispatch here could delete THIS conn and then
+        // resume this very parse frame on freed memory
       else
         arm_timer(s);
       // response is framed at dispatch; stop parsing this conn until then
@@ -398,7 +409,8 @@ void event_loop(Server* s) {
         ssize_t r = read(s->timer_fd, &v, sizeof(v));
         (void)r;
         s->timer_armed = false;
-        dispatch_batch(s);
+        s->dispatch_now = true;  // drained after this event batch, so a
+        // dispatch can't close a conn whose events are later in `events`
         continue;
       }
       if (fd == s->listen_fd) {
@@ -429,9 +441,16 @@ void event_loop(Server* s) {
       }
       if (events[i].events & EPOLLIN) on_readable(s, c);
     }
+    // top-level dispatch point: every parse frame has unwound, so
+    // dispatch_batch may freely close connections. Dispatching can resume
+    // pipelined input that fills another window — keep draining.
+    while (s->dispatch_now) {
+      s->dispatch_now = false;
+      dispatch_batch(s);
+    }
   }
-  // flush the pending batch so no in-flight client hangs on shutdown
-  if (!s->pending.empty()) dispatch_batch(s);
+  // flush every pending batch so no in-flight client hangs on shutdown
+  while (!s->pending.empty()) dispatch_batch(s);
   for (auto& kv : s->conns) {
     close(kv.first);
     delete kv.second;

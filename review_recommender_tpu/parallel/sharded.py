@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
+from review_recommender_tpu.engine.hooks import SplitPathHooksMixin
 from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle, ProductIndex
@@ -62,7 +63,8 @@ _BREAKDOWN_FIELDS = ("dense", "bm25", "rerank", "prior", "best", "trust",
                      "gate", "n_reviews", "avg_stars")
 
 
-class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
+class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
+                          SplitPathHooksMixin):
     """The hybrid engine over a corpus sharded across `n_shards` devices.
 
     Full production surface (VERDICT r2 missing #2): the exact `run_search`
@@ -418,7 +420,10 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
                 & (pool_gidx < self.n_docs),
                 best_all, 0.0,
             )
-            has_snips = use_snips & jnp.any(best_raw > 0)
+            has_snips = use_snips & jnp.any(best_raw != 0)  # != 0, not > 0:
+                # the host split path keeps all-negative sims as a computed
+                # lane ((best_raw != 0).any()) and the fusion minmaxes them;
+                # > 0 would silently zero the lane and drift from run_search
         else:
             best_raw = jnp.zeros(Pp, jnp.float32)
             has_snips = jnp.bool_(False)
@@ -508,6 +513,11 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
+
+    def _snippet_scores_full(self, qvec):
+        """SplitPathHooksMixin hook: replicated (n_docs,) best review sim
+        per product via the compiled SPMD segment-max + pmax program."""
+        return self._get_snippet_scores()(self.rev_arrays, jnp.asarray(qvec))
 
     def _get_snippet_scores(self):
         """Compiled SPMD best-review scores: per-shard segment-max over its
@@ -655,7 +665,10 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
                     & st["cand_valid"] & (st["idx"] < self.n_docs),
                     best_all, 0.0,
                 )
-                has_snips = use_snips & jnp.any(best_raw > 0)
+                has_snips = use_snips & jnp.any(best_raw != 0)  # != 0, not > 0:
+                # the host split path keeps all-negative sims as a computed
+                # lane ((best_raw != 0).any()) and the fusion minmaxes them;
+                # > 0 would silently zero the lane and drift from run_search
             else:
                 best_raw = jnp.zeros(Pp, jnp.float32)
                 has_snips = jnp.bool_(False)
@@ -1023,7 +1036,6 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         import pandas as pd
 
         from review_recommender_tpu.utils.numerics import device_fetch
-        from review_recommender_tpu.utils.text import calculate_gate_factor
 
         c = config
         k = c.DEFAULT_K if k is None else int(k)
@@ -1128,61 +1140,22 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin):
         cand_valid_h = np.asarray(cand_valid_h)
         n_cand = int(cand_valid_h.sum())
         cand_rows = idx[:n_cand]
-        cand_texts = [self.products.agg_texts[int(i)] for i in cand_rows]
         n_pool = idx.shape[0]
 
-        # cross-encoder rerank (host model call) — single-chip semantics:
-        # zero scores still occupy the rerank lanes when the model is
-        # missing/disabled (reference app:275,279)
-        rerank_raw = np.zeros(n_pool, np.float32)
-        rerank_mask = np.zeros(n_pool, bool)
-        if rerank_k > 0:
-            rr_k = min(rerank_k, n_cand)
-            if rr_k > 0:
-                if rerank_live:
-                    texts = [t[:2000] for t in cand_texts[:rr_k]]
-                    rerank_raw[:rr_k] = np.asarray(
-                        self.cross_encoder(query, texts), dtype=np.float32
-                    )
-                rerank_mask[:rr_k] = True
-
-        # gate
-        if self.gate_mode == "host":
-            gate = np.ones(n_pool, np.float32)
-            for i, text in enumerate(cand_texts):
-                gf, _, _ = calculate_gate_factor(
-                    text[:6000], qf.groups, gate_pen_h
-                )
-                gate[i] = gf
-        else:
-            gate = np.power(
-                gate_pen_h,
-                (np.asarray(n_groups_h)
-                 - np.asarray(gate_hits_h)).astype(np.float32),
-            ).astype(np.float32)
-
-        # snippets
-        best_raw = np.zeros(n_pool, np.float32)
-        snips = {}
-        has_snips = False
-        if use_snips_eff and max_scan != 0:
-            cap = max_scan if max_scan > 0 else c.MAX_REVIEWS_SCAN
-            best_by_row, snips = self._exact_snippets(qvec_h, cand_rows, cap)
-            for i, row in enumerate(cand_rows):
-                best_raw[i] = best_by_row.get(int(row), 0.0)
-            has_snips = bool((best_raw != 0).any())
-        elif use_snips_eff:
-            (best_full,) = device_fetch(
-                self._get_snippet_scores()(self.rev_arrays,
-                                           jnp.asarray(qvec_h))
-            )
-            for i, row in enumerate(cand_rows):
-                v = best_full[int(row)]
-                if v > np.float32(-1e30):
-                    best_raw[i] = v
-            has_snips = bool((best_raw != 0).any())
-            if has_snips:
-                snips = self._snippet_texts(qvec_h, cand_rows)
+        # host hooks (rerank lanes / gate / snippets): ONE shared block for
+        # both engines — engine/hooks.py. In device-gate mode the counters
+        # arrive as host arrays here (fetched above in the same round trip
+        # as the candidate ids); the single-chip engine passes them as
+        # device arrays — same math either way.
+        (rerank_raw, rerank_mask, gate, best_raw, has_snips,
+         snips) = self._split_host_hooks(
+            query, qf.groups, qvec_h, cand_rows, n_pool,
+            rerank_k=rerank_k,
+            gate_pen_h=gate_pen_h, use_snips_eff=use_snips_eff,
+            max_scan=max_scan,
+            gate_hits=None if self.gate_mode == "host" else gate_hits_h,
+            n_groups=None if self.gate_mode == "host" else n_groups_h,
+        )
 
         res, scores, pos = self._stage_b_jit()(
             st["dense_raw"], st["bm25_raw"],

@@ -102,6 +102,10 @@ class _Pending:
 
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
+# cap on cached escaped row fragments (~4 KB each at the reference's
+# agg_text cap — ≈128 MiB worst case); see _row_fragment
+ROW_FRAG_CACHE_MAX = 32768
+
 
 def format_search_result(engine, req, rows, scores, bd, batch_n,
                          took_ms) -> dict:
@@ -185,6 +189,12 @@ def _row_fragment(engine, ridx: int) -> str:
             d["last_ts"] = p.last_ts[ridx]
         d["agg_text"] = p.agg_texts[ridx]
         frag = json.dumps(d)[1:-1]
+        # bound the cache: a diverse long-running stream over a large
+        # corpus would otherwise accumulate an escaped copy of every
+        # agg_text in host RAM. Result rows are heavily head-skewed, so a
+        # periodic clear (simplest O(1) bound) re-warms in a few windows.
+        if len(cache) >= ROW_FRAG_CACHE_MAX:
+            cache.clear()
         cache[ridx] = frag
     return frag
 

@@ -83,7 +83,13 @@ class NativeSearchServer:
         self.port = config.APP_PORT if port is None else port
         self.window_ms = (config.MICROBATCH_WINDOW_MS
                           if window_ms is None else window_ms)
-        self.max_batch = max_batch or config.MICROBATCH_MAX
+        # clamp like MicroBatcher: a window larger than the biggest
+        # compiled bucket would make run_coalesced_batch's bucket lookup
+        # fail for every rider in every full window
+        from review_recommender_tpu.serve.api import BATCH_BUCKETS
+
+        self.max_batch = min(max_batch or config.MICROBATCH_MAX,
+                             BATCH_BUCKETS[-1])
         # device-program counters (the C++ side counts HTTP-level units)
         import types
 
@@ -102,8 +108,17 @@ class NativeSearchServer:
     # ------------------------------------------------------------ lifecycle
     def start(self) -> int:
         """Bind + start the event loop thread; returns the bound port."""
+        import socket
+
+        # the C++ side parses the host with inet_addr (dotted quad only);
+        # resolve names like "localhost" here so APP_HOST values that work
+        # on the stdlib server work natively too
+        try:
+            host_ip = socket.gethostbyname(self.host)
+        except OSError:
+            host_ip = self.host  # let bind() report the real error
         port = self._lib.rrt_server_start(
-            self.host.encode(), int(self.port), float(self.window_ms),
+            host_ip.encode(), int(self.port), float(self.window_ms),
             int(self.max_batch), self._batch_cb, self._fallback_cb,
         )
         if port < 0:
@@ -169,7 +184,6 @@ class NativeSearchServer:
 
         service = self.service
         pendings = []  # (index, _Pending)
-        t0 = time.perf_counter()
         for i in range(n):
             try:
                 raw = ctypes.string_at(bodies[i], lens[i])
@@ -197,6 +211,11 @@ class NativeSearchServer:
         # embedded took_ms is the device-batch time (vs the dict path's
         # whole-window time — a sub-ms difference; both are timing fields
         # excluded from the server-equality contract).
+        # time ONLY the coalesced dispatch: ineligible riders above ran
+        # full service.search inline (which records its own latency), and
+        # folding a slow fallback rider's seconds into every coalesced
+        # rider's sample would corrupt the /metrics quantiles
+        t0 = time.perf_counter()
         run_coalesced_batch(service.engine, [p for _, p in pendings],
                             stats=self.batch_stats,
                             formatter=format_search_result_bytes)

@@ -127,3 +127,45 @@ def test_per_query_weights_batch_matches_single(engine):
     finite = np.isfinite(sb)
     np.testing.assert_allclose(blend[finite], sb[finite], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_all_negative_snippet_sims_match_split_path():
+    """Corner the fused path's has_snips predicate: when EVERY pool
+    candidate's best review sim is negative, the host split path still
+    treats the lane as computed ((best_raw != 0).any()) and minmaxes it —
+    the device predicate must agree (regression: it used best_raw > 0,
+    which zeroed the lane only on the fused path)."""
+    products, emb, reviews, remb = make_corpus(n=32, dim=32, seed=23)
+    bundle = build_bundle_from_products(
+        products, emb, reviews=reviews, review_embeddings=remb,
+        pad_multiple=8, doc_terms_cap=32,
+    )
+    eng = SearchEngine(bundle, emb_dtype="float32", gate_mode="device")
+    # anti-correlate the query with every review embedding: sims all < 0
+    remb_n = remb / np.linalg.norm(remb, axis=1, keepdims=True)
+    qvec = -remb_n.mean(axis=0)
+    qvec /= np.linalg.norm(qvec)
+    sims = remb_n @ qvec
+    assume_all_neg = (sims < 0).all()
+    if not assume_all_neg:  # construction failed for this seed: make it so
+        qvec = -remb_n[0]
+        sims = remb_n @ qvec
+        assert (sims < 0).any()
+    w = FusionWeights.make(w_dense=0.5, w_best=0.4, w_bm25=0.1,
+                           w_rerank=0.0, w_prior=0.0,
+                           min_reviews=1, gate_penalty=1.0)
+    query = "wireless headphones"
+
+    rf, sf = eng.query_fused(qvec, query, w, pool=32, k=8, use_snips=True)
+    df, _snips, _dbg = eng.run_search(
+        query, k=8, w_dense=0.5, w_best=0.4, w_bm25=0.1, w_rerank=0.0,
+        w_prior=0.0, min_reviews=1, gate_penalty=1.0, use_snips=True,
+        rerank_k=0, qvec=qvec,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf)[: len(df)], df["_final"].to_numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    if assume_all_neg:
+        # the lane was genuinely computed: minmaxed values, not all zeros
+        assert df["_best"].to_numpy().max() > 0
