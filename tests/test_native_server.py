@@ -126,6 +126,54 @@ class TestNativeServer:
         assert max(o["debug"]["coalesced"] for o in outs) > 1
         assert native_srv.batch_stats.coalesced - before == n
 
+    def test_disconnect_mid_window_keeps_server_alive(self, native_srv):
+        """Clients that vanish before their window dispatches must not take
+        the server down (regression: dispatch_batch re-entered a live
+        parse_loop frame and could resume on a freed Conn; the dispatch is
+        now deferred to the event-loop top level). Riders fill windows to
+        max_batch with pipelined sends, some sockets close immediately —
+        the server must answer normally afterwards."""
+        import socket
+
+        body = json.dumps({"query": "red socks", "k": 2}).encode()
+        raw = (b"POST /search HTTP/1.1\r\nHost: x\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n" + body)
+        # a waiting conn holds ONE pending slot, so reaching the inline
+        # full-window dispatch (the old crash path) needs max_batch
+        # simultaneous connections
+        n_conns = native_srv.max_batch
+        for _round in range(3):
+            socks = []
+            for i in range(n_conns):
+                sk = socket.create_connection(
+                    ("127.0.0.1", native_srv.port), timeout=10)
+                sk.sendall(raw * 2)  # one pending + one pipelined follow-up
+                socks.append(sk)
+            # half the clients vanish before (or while) their window runs
+            for sk in socks[::2]:
+                sk.close()
+            # the rest read one response then drop the connection mid-stream
+            for sk in socks[1::2]:
+                try:
+                    sk.settimeout(60)
+                    buf = b""
+                    while b"\r\n\r\n" not in buf:
+                        chunk = sk.recv(4096)
+                        if not chunk:
+                            break
+                        buf += chunk
+                finally:
+                    sk.close()
+        # server must still be fully functional
+        code, resp_body, _ = _request(native_srv.port, "POST", "/search",
+                                      body)
+        assert code == 200
+        assert json.loads(resp_body)["results"]
+        code, _b, _ = _request(native_srv.port, "GET", "/healthz")
+        assert code == 200
+
     def test_search_batch_and_eval_via_fallback(self, native_srv):
         dim = native_srv.service.engine.products.dim
         qvecs = np.eye(2, dim).tolist()
