@@ -115,3 +115,42 @@ class SplitPathHooksMixin:
             if has_snips:
                 snips = self._snippet_texts(qvec, cand_rows)
         return rerank_raw, rerank_mask, gate, best_raw, has_snips, snips
+
+
+SIGNAL_ORDER = ("dense", "bm25", "rerank", "prior", "best", "trust", "gate")
+
+
+def assemble_result_rows(products, row_ids, finals, signals, *,
+                         n_reviews=None, avg_stars=None):
+    """ONE result-row builder for every query path (single-chip fused and
+    split, mesh fused and split — four near-identical copies before this).
+
+    `row_ids`/`finals` are host arrays aligned by output rank; iteration
+    stops at the first non-finite final (top-k pads with -inf at the
+    tail). `signals` maps each SIGNAL_ORDER name to a rank-aligned array.
+    n_reviews/avg_stars default to the product table; the mesh fused path
+    passes its psum-assembled per-rank columns instead. Field order
+    matches the reference's result frame (app/app_product_search.py:255,
+    306-312) and is the DataFrame column order downstream."""
+    import math
+
+    last_ts = products.last_ts
+    rows = []
+    for rank in range(len(row_ids)):
+        s = float(finals[rank])
+        if not math.isfinite(s):
+            break
+        ridx = int(row_ids[rank])
+        rows.append({
+            "sku": products.skus[ridx],
+            "n_reviews": (float(n_reviews[rank]) if n_reviews is not None
+                          else float(products.n_reviews[ridx])),
+            "avg_stars": (float(avg_stars[rank]) if avg_stars is not None
+                          else float(products.avg_stars[ridx])),
+            **({"last_ts": last_ts[ridx]} if last_ts else {}),
+            "agg_text": products.agg_texts[ridx],
+            **{f"_{name}": float(signals[name][rank])
+               for name in SIGNAL_ORDER},
+            "_final": s,
+        })
+    return rows

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import math
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -35,7 +34,12 @@ import pandas as pd
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
-from review_recommender_tpu.engine.hooks import SNIPPET_NONE, SplitPathHooksMixin
+from review_recommender_tpu.engine.hooks import (
+    SIGNAL_ORDER,
+    SNIPPET_NONE,
+    SplitPathHooksMixin,
+    assemble_result_rows,
+)
 from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle
@@ -773,32 +777,16 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             res.best, res.trust, res.gate,
         )
         timer_fuse.__exit__(None, None, None)
-        keep = [p for p, s in zip(pos, scores) if math.isfinite(s)]
-
-        last_ts = self.products.last_ts
-        rows = []
-        for rank, p in enumerate(keep):
-            row_idx = int(idx[p])
-            rows.append(
-                {
-                    "sku": self.products.skus[row_idx],
-                    "n_reviews": float(self.products.n_reviews[row_idx]),
-                    "avg_stars": float(self.products.avg_stars[row_idx]),
-                    # full meta carried into result rows like the reference
-                    # (app:255 copies meta incl. last_ts)
-                    **({"last_ts": last_ts[row_idx]} if last_ts else {}),
-                    "agg_text": self.products.agg_texts[row_idx],
-                    "_dense": float(r_dense[p]),
-                    "_bm25": float(r_bm25[p]),
-                    "_rerank": float(r_rerank[p]),
-                    "_prior": float(r_prior[p]),
-                    "_best": float(r_best[p]),
-                    "_trust": float(r_trust[p]),
-                    "_gate": float(r_gate[p]),
-                    "_final": float(scores[rank]),
-                }
-            )
-        df = pd.DataFrame(rows)
+        # gather pool-position-indexed columns into rank order, then build
+        # rows with the one shared assembler (engine/hooks.py)
+        pos = np.asarray(pos)
+        sig = dict(zip(SIGNAL_ORDER,
+                       (np.asarray(a)[pos] for a in
+                        (r_dense, r_bm25, r_rerank, r_prior, r_best,
+                         r_trust, r_gate))))
+        df = pd.DataFrame(assemble_result_rows(
+            self.products, np.asarray(idx)[pos], np.asarray(scores), sig
+        ))
 
         debug = {
             "bm25_active": bool(np.any(qf.q_idf > 0)),
@@ -816,23 +804,9 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         """(k, 9) fused-program output -> the run_search (df, snips, debug)
         contract. Column layout per _fused_packed1_impl: [row id, final,
         dense, bm25, rerank, prior, best, trust, gate]."""
-        last_ts = self.products.last_ts
-        rows = []
-        for r in buf:
-            if not math.isfinite(r[1]):
-                break
-            ridx = int(r[0])
-            rows.append({
-                "sku": self.products.skus[ridx],
-                "n_reviews": float(self.products.n_reviews[ridx]),
-                "avg_stars": float(self.products.avg_stars[ridx]),
-                **({"last_ts": last_ts[ridx]} if last_ts else {}),
-                "agg_text": self.products.agg_texts[ridx],
-                "_dense": float(r[2]), "_bm25": float(r[3]),
-                "_rerank": float(r[4]), "_prior": float(r[5]),
-                "_best": float(r[6]), "_trust": float(r[7]),
-                "_gate": float(r[8]), "_final": float(r[1]),
-            })
+        sig = {name: buf[:, 2 + i] for i, name in enumerate(SIGNAL_ORDER)}
+        rows = assemble_result_rows(self.products, buf[:, 0], buf[:, 1],
+                                    sig)
         debug = {
             "bm25_active": bool(np.any(qf.q_idf > 0)),
             "tokens": qf.tokens,

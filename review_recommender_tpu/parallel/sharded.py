@@ -37,7 +37,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from review_recommender_tpu.config import config
 from review_recommender_tpu.engine.featurize import QueryFeaturizer
-from review_recommender_tpu.engine.hooks import SplitPathHooksMixin
+from review_recommender_tpu.engine.hooks import (
+    SIGNAL_ORDER,
+    SplitPathHooksMixin,
+    assemble_result_rows,
+)
 from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
 from review_recommender_tpu.index.schema import IndexBundle, ProductIndex
@@ -1066,7 +1070,6 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         use_snips_eff = (bool(use_snips) and c.ENABLE_SNIPPETS
                          and self.reviews is not None)
         max_scan = int(max_scan or 0)
-        last_ts = self.products.last_ts
 
         # ---- fast path: ONE SPMD fused program ----
         # same routing condition as the single-chip engine
@@ -1085,26 +1088,11 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             fetched = device_fetch(rows, scores, *[bd[n] for n in names])
             rows, scores = fetched[0], fetched[1]
             bd = dict(zip(names, fetched[2:]))
-            out = []
-            for rank, (r, s) in enumerate(zip(rows, scores)):
-                if not np.isfinite(s):
-                    break
-                r = int(r)
-                out.append({
-                    "sku": self.products.skus[r],
-                    "n_reviews": float(bd["n_reviews"][rank]),
-                    "avg_stars": float(bd["avg_stars"][rank]),
-                    **({"last_ts": last_ts[r]} if last_ts else {}),
-                    "agg_text": self.products.agg_texts[r],
-                    "_dense": float(bd["dense"][rank]),
-                    "_bm25": float(bd["bm25"][rank]),
-                    "_rerank": float(bd["rerank"][rank]),
-                    "_prior": float(bd["prior"][rank]),
-                    "_best": float(bd["best"][rank]),
-                    "_trust": float(bd["trust"][rank]),
-                    "_gate": float(bd["gate"][rank]),
-                    "_final": float(s),
-                })
+            out = assemble_result_rows(
+                self.products, rows, scores,
+                {n: bd[n] for n in SIGNAL_ORDER},
+                n_reviews=bd["n_reviews"], avg_stars=bd["avg_stars"],
+            )
             df = pd.DataFrame(out)
             debug = {
                 "bm25_active": bool(np.any(qf.q_idf > 0)),
@@ -1170,27 +1158,14 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             pos, scores, res.dense, res.bm25, res.rerank, res.prior,
             res.best, res.trust, res.gate,
         )
-        rows_out = []
-        for rank, p in enumerate(pos):
-            if not np.isfinite(scores[rank]):
-                break
-            row_idx = int(idx[p])
-            rows_out.append({
-                "sku": self.products.skus[row_idx],
-                "n_reviews": float(self.products.n_reviews[row_idx]),
-                "avg_stars": float(self.products.avg_stars[row_idx]),
-                **({"last_ts": last_ts[row_idx]} if last_ts else {}),
-                "agg_text": self.products.agg_texts[row_idx],
-                "_dense": float(r_dense[p]),
-                "_bm25": float(r_bm25[p]),
-                "_rerank": float(r_rerank[p]),
-                "_prior": float(r_prior[p]),
-                "_best": float(r_best[p]),
-                "_trust": float(r_trust[p]),
-                "_gate": float(r_gate[p]),
-                "_final": float(scores[rank]),
-            })
-        df = pd.DataFrame(rows_out)
+        pos = np.asarray(pos)
+        sig = dict(zip(SIGNAL_ORDER,
+                       (np.asarray(a)[pos] for a in
+                        (r_dense, r_bm25, r_rerank, r_prior, r_best,
+                         r_trust, r_gate))))
+        df = pd.DataFrame(assemble_result_rows(
+            self.products, np.asarray(idx)[pos], np.asarray(scores), sig
+        ))
         debug = {
             "bm25_active": bool(np.any(qf.q_idf > 0)),
             "tokens": qf.tokens,
