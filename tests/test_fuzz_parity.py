@@ -168,3 +168,80 @@ def test_fuzz_k_exceeds_corpus(engines):
     assert len(df) == len(ref_skus) == n
     np.testing.assert_allclose(df["_final"].to_numpy(), ref_final,
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.integration
+class TestFuzzSharded:
+    """Sharding must never change scores (merge-then-fuse invariant):
+    the mesh engine's run_search is fuzzed against the single-chip
+    engine's over random knob draws — host-gate split path (fake
+    cross-encoder riders) and device-gate fused fast path both."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import jax
+
+        from review_recommender_tpu.parallel.sharded import (
+            ShardedSearchEngine,
+        )
+
+        assert len(jax.devices()) == 8
+        n, dim = SHAPES[1]
+        rng = np.random.default_rng(2000)
+        products = _make_corpus(rng, n)
+        emb = rng.standard_normal((n, dim)).astype(np.float32)
+        bundle = build_bundle_from_products(
+            products, emb, pad_multiple=16, doc_terms_cap=64)
+        single = SearchEngine(bundle, emb_dtype="float32", gate_mode="host")
+        single.cross_encoder = _fake_ce
+        mesh = ShardedSearchEngine(bundle, n_shards=8, emb_dtype="float32",
+                                   gate_mode="host",
+                                   cross_encoder=_fake_ce)
+        return single, mesh, dim
+
+    @pytest.mark.parametrize("trial", range(8))
+    def test_mesh_matches_single_chip(self, pair, trial):
+        single, mesh, dim = pair
+        rng = np.random.default_rng(9000 + trial)
+        cfg = _random_knobs(rng)
+        query = _random_query(rng)
+        qvec = rng.standard_normal(dim).astype(np.float32)
+        qvec /= np.linalg.norm(qvec)
+
+        df_s, _x, _y = single.run_search(query, qvec=qvec, use_snips=False,
+                                         **cfg)
+        df_m, _x, _y = mesh.run_search(query, qvec=qvec, use_snips=False,
+                                       **cfg)
+        fs, fm = df_s["_final"].to_numpy(), df_m["_final"].to_numpy()
+        assert len(fs) == len(fm), (trial, cfg, query)
+        np.testing.assert_allclose(fm, fs, rtol=2e-4, atol=2e-5)
+        for i, (a, b) in enumerate(zip(df_m["sku"], df_s["sku"])):
+            if a != b:  # near-tie swaps only
+                assert abs(fm[i] - fs[i]) < 1e-4, (trial, i, a, b, cfg)
+
+    def test_mesh_fast_path_matches_single_chip(self, pair):
+        """Device-gate, no rerank: both engines route to their ONE-program
+        fused fast path."""
+        single, mesh, dim = pair
+        s2 = SearchEngine(single.bundle, emb_dtype="float32",
+                          gate_mode="device")
+        from review_recommender_tpu.parallel.sharded import (
+            ShardedSearchEngine,
+        )
+
+        m2 = ShardedSearchEngine(single.bundle, n_shards=8,
+                                 emb_dtype="float32", gate_mode="device")
+        rng = np.random.default_rng(31)
+        qvec = rng.standard_normal(dim).astype(np.float32)
+        qvec /= np.linalg.norm(qvec)
+        cfg = dict(k=12, rerank_k=0, w_dense=0.6, w_bm25=0.3, w_rerank=0.0,
+                   w_prior=0.1, w_best=0.0, prior_C=20.0, min_reviews=5,
+                   gate_penalty=0.4)
+        df_s, _x, dbg_s = s2.run_search("yellow kitten socks", qvec=qvec,
+                                        **cfg)
+        df_m, _x, dbg_m = m2.run_search("yellow kitten socks", qvec=qvec,
+                                        **cfg)
+        assert dbg_m.get("fused") and "stage_ms" in dbg_s  # fast paths hit
+        np.testing.assert_allclose(df_m["_final"].to_numpy(),
+                                   df_s["_final"].to_numpy(),
+                                   rtol=2e-4, atol=2e-5)
