@@ -64,8 +64,7 @@ def _pad_rows_to(arr: np.ndarray, n_rows: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-_BREAKDOWN_FIELDS = ("dense", "bm25", "rerank", "prior", "best", "trust",
-                     "gate", "n_reviews", "avg_stars")
+_BREAKDOWN_FIELDS = SIGNAL_ORDER + ("n_reviews", "avg_stars")
 
 
 class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
@@ -447,8 +446,7 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         scores, pos = final_topk(res, min(k, Pp))
         breakdown = {
             name: jnp.take(getattr(res, name), pos)
-            for name in ("dense", "bm25", "rerank", "prior", "best",
-                         "trust", "gate")
+            for name in SIGNAL_ORDER
         }
         breakdown["n_reviews"] = jnp.take(n_reviews, pos)
         breakdown["avg_stars"] = jnp.take(avg_stars, pos)
@@ -592,8 +590,7 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
                 a, rev, qvec, *feats, w, use_snips, pool=pool, k=k
             )
             stack = jnp.stack(
-                [bd[n] for n in ("dense", "bm25", "rerank", "prior",
-                                 "best", "trust", "gate")], axis=-1,
+                [bd[n] for n in SIGNAL_ORDER], axis=-1,
             )
             return rows, scores, stack
 
@@ -896,9 +893,7 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             body = functools.partial(self._fused_block_packed, pool=pool, k=k)
             in_specs = (a_specs, rev_specs, rep, rep,
                         jax.tree.map(lambda _: rep, FusionWeights.make()), rep)
-            bd = {name: rep for name in ("dense", "bm25", "rerank", "prior",
-                                         "best", "trust", "gate",
-                                         "n_reviews", "avg_stars")}
+            bd = {name: rep for name in _BREAKDOWN_FIELDS}
             fn = jax.shard_map(
                 body, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(rep, rep, bd), check_vma=False,

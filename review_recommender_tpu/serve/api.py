@@ -52,6 +52,10 @@ from typing import Optional
 import numpy as np
 
 from review_recommender_tpu.config import config
+from review_recommender_tpu.engine.hooks import (
+    SIGNAL_ORDER,
+    assemble_result_rows,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -111,29 +115,14 @@ def format_search_result(engine, req, rows, scores, bd, batch_n,
                          took_ms) -> dict:
     """Build one /search response dict from a coalesced program's outputs
     (shared by the Python MicroBatcher and the native C++ front end, so
-    both servers answer byte-identically)."""
-    import math as _math
-
-    p = engine.products
-    last_ts = p.last_ts
-    out_rows = []
-    for rank in range(len(rows)):
-        s = float(scores[rank])
-        if not _math.isfinite(s):
-            continue
-        ridx = int(rows[rank])
-        sig = bd[rank]
-        out_rows.append({
-            "sku": p.skus[ridx],
-            "n_reviews": float(p.n_reviews[ridx]),
-            "avg_stars": float(p.avg_stars[ridx]),
-            **({"last_ts": last_ts[ridx]} if last_ts else {}),
-            "agg_text": p.agg_texts[ridx],
-            "_dense": float(sig[0]), "_bm25": float(sig[1]),
-            "_rerank": float(sig[2]), "_prior": float(sig[3]),
-            "_best": float(sig[4]), "_trust": float(sig[5]),
-            "_gate": float(sig[6]), "_final": s,
-        })
+    both servers answer byte-identically). Row dicts come from the same
+    assemble_result_rows as every engine query path — `bd` is the stacked
+    (k, len(SIGNAL_ORDER)) signal block from the coalesced program."""
+    bd = np.asarray(bd)
+    out_rows = assemble_result_rows(
+        engine.products, rows, scores,
+        {name: bd[:, i] for i, name in enumerate(SIGNAL_ORDER)},
+    )
     snips = {}
     if req.use_snips and engine.reviews is not None and out_rows:
         result_rows = np.asarray(
@@ -147,6 +136,7 @@ def format_search_result(engine, req, rows, scores, bd, batch_n,
         tokenize_query,
     )
 
+    p = engine.products
     tokens = tokenize_query(req.query)
     bm25_active = config.ENABLE_BM25 and any(
         p.idf[p.vocab[t]] > 0 for t in tokens if t in p.vocab
@@ -218,7 +208,7 @@ def format_search_result_bytes(engine, req, rows, scores, bd, batch_n,
     for rank in range(len(rows)):
         s = float(scores[rank])
         if not _math.isfinite(s):
-            continue
+            break  # top-k pads the tail with -inf; match assemble_result_rows
         sig = bd[rank]
         parts.append(
             "{" + _row_fragment(engine, int(rows[rank])) + _SIG_FMT % (
