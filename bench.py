@@ -9,18 +9,192 @@ run_search hot path (app/app_product_search.py:245-312: full-corpus cosine +
 argpartition pool, full-corpus BM25 term scoring, pool fusion) on the same
 data as the baseline. vs_baseline = TPU QPS / CPU QPS.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line LAST: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_N_DOCS (default 200000), BENCH_QUERIES (default 64),
-BENCH_DIM (384), BENCH_BASELINE_QUERIES (8).
+Driver-survivability contract (VERDICT r3 item 1 — BENCH_r03.json was
+rc=124/parsed=null because the headline printed last, after 16 tail
+sections, with fully buffered stdout):
+  - every print is flushed (emit());
+  - the HEADLINE is measured FIRST (warmup + batched QPS + CPU reference),
+    then held; tail sections run after it and each one is gated on a global
+    wall-clock deadline (BENCH_DEADLINE_S, default 1380 s — the r3 driver
+    killed at ~30 min) with a per-section cost estimate;
+  - a SIGTERM/SIGINT handler and a hard watchdog thread print the headline
+    and exit even if a tail section hangs on a tunnel readback;
+  - a fail-fast device probe (watchdog'd tiny matmul) turns a hung device
+    grant into a diagnostic line instead of 30 minutes of silence.
+
+Env knobs: BENCH_N_DOCS (default 200000), BENCH_QUERIES (default 256),
+BENCH_DIM (384), BENCH_BASELINE_QUERIES (8), BENCH_DEADLINE_S (1380),
+BENCH_PROBE_TIMEOUT_S (300), per-section BENCH_* gates below.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
+
+
+def emit(obj) -> None:
+    """Every bench line goes through here: JSON, one line, FLUSHED.
+
+    The round-3 driver run lost 30 minutes of completed sections to a
+    buffered-stdout SIGTERM; nothing in this file may print unflushed."""
+    print(json.dumps(obj), flush=True)
+
+
+_T0 = time.monotonic()
+_BUDGET = float(os.getenv("BENCH_DEADLINE_S", "1380"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+# ---------------------------------------------------------------------------
+# headline state: measured early, printed exactly once, from whichever of
+# (normal end-of-main, SIGTERM handler, watchdog thread) fires first.
+_H: dict = {}
+_H_LOCK = threading.Lock()
+_H_PRINTED = [False]
+
+
+def _print_headline() -> bool:
+    """Emit the final headline JSON line once. Returns True if a measured
+    headline was available."""
+    with _H_LOCK:
+        if _H_PRINTED[0]:
+            return True
+        if "head_qps" not in _H:
+            return False
+        _H_PRINTED[0] = True
+    extras = []
+    if "batched_qps" in _H:
+        extras.append(f"batch={_H['batch']} {_H['batched_qps']:.1f} q/s")
+    if "single_qps" in _H:
+        extras.append(f"single-stream {_H['single_qps']:.1f} q/s")
+    if "rr_p50" in _H:
+        extras.append(f"request-response p50 {_H['rr_p50']:.1f} ms")
+    extras.append(f"CPU-reference {_H['cpu_qps']:.1f} q/s")
+    out = {
+        "metric": (f"hybrid search throughput, batch={_H['head_batch']}, "
+                   f"{_H['pool_mode']} pool "
+                   f"(N={_H['n_docs']}, pool={_H['pool']}, k={_H['k']}; "
+                   + ", ".join(extras) + ")"),
+        "value": round(_H["head_qps"], 2),
+        "unit": "queries/s",
+        "vs_baseline": round(_H["head_qps"] / _H["cpu_qps"], 2),
+    }
+    if "rr_p50" in _H:
+        out["p50_ms"] = round(_H["rr_p50"], 3)
+        out["p99_ms"] = round(_H["rr_p99"], 3)
+    emit(out)
+    return True
+
+
+def _install_guards() -> None:
+    """SIGTERM/SIGINT handler + hard watchdog: whatever happens after the
+    headline is measured (hung tunnel readback mid-tail, driver timeout),
+    the headline line still reaches stdout."""
+    def on_sig(signum, frame):
+        had = _print_headline()
+        if not had:
+            emit({"metric": "bench aborted before headline was measured",
+                  "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+                  "error": f"signal {signum} at t+{time.monotonic() - _T0:.0f}s"})
+        os._exit(0 if had else 3)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, on_sig)
+        except (ValueError, OSError):
+            pass
+
+    def watchdog():
+        # fires only if main is still alive past the deadline + grace —
+        # i.e. a tail section is hung; main's own deadline checks normally
+        # finish well before this.
+        wake = _BUDGET + 45.0 - (time.monotonic() - _T0)
+        if wake > 0:
+            time.sleep(wake)
+        if _H_PRINTED[0]:
+            return
+        emit({"tail_metric": "watchdog",
+              "note": f"hard deadline hit at t+{time.monotonic() - _T0:.0f}s; "
+                      "a tail section is hung — emitting headline and exiting"})
+        had = _print_headline()
+        os._exit(0 if had else 3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+def _device_probe(timeout_s: float) -> None:
+    """Fail-fast device probe: a tiny matmul with a host-side watchdog.
+
+    On this box the TPU sits behind a flaky tunnel; a stale grant makes the
+    FIRST dispatch hang forever (observed: ~2 min to release after killing
+    a hung client). Probing with a bounded wait turns that failure mode
+    into a diagnostic final line instead of rc=124 with empty stdout."""
+    res: dict = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            res["value"] = float(jnp.sum(x @ x))
+            res["platform"] = jax.devices()[0].platform
+        except Exception as e:  # noqa: BLE001 — diagnostic path
+            res["error"] = f"{type(e).__name__}: {e}"[:300]
+
+    th = threading.Thread(target=probe, daemon=True)
+    t0 = time.monotonic()
+    th.start()
+    th.join(timeout_s)
+    if "value" in res:
+        emit({"tail_metric": "device probe",
+              "platform": res["platform"],
+              "seconds": round(time.monotonic() - t0, 1)})
+        return
+    diag = res.get("error",
+                   f"device probe hung > {timeout_s:.0f}s (tunnel grant "
+                   "not released / backend init stuck)")
+    emit({"metric": "bench aborted: device unavailable",
+          "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+          "error": diag})
+    os._exit(3)
+
+
+# TPU v5e public per-chip peaks (same source as examples/roofline.py);
+# used for the inline fraction-of-roofline tail fields.
+_SPECS = {
+    "bf16_flops": float(os.getenv("ROOFLINE_TFLOPS", "197")) * 1e12,
+    "int8_ops": float(os.getenv("ROOFLINE_INT8_TOPS", "394")) * 1e12,
+    "vpu_ops": float(os.getenv("ROOFLINE_VPU_TOPS", "3.85")) * 1e12,
+    "hbm_bw": float(os.getenv("ROOFLINE_HBM_GBS", "819")) * 1e9,
+}
+
+
+def _roofline(ms: float, flops: float, bytes_moved: float,
+              peak_key: str = "bf16_flops") -> dict:
+    """bound = max(bytes/BW, flops/peak); fraction = bound / measured.
+    Mirrors examples/roofline.py:row so the bench tails carry the same
+    speed-of-light fields the committed report uses."""
+    t_flops = flops / _SPECS[peak_key] * 1e3
+    t_bw = bytes_moved / _SPECS["hbm_bw"] * 1e3
+    bound = max(t_flops, t_bw)
+    return {
+        "bound_ms": round(bound, 3),
+        "limiter": "HBM" if t_bw >= t_flops
+        else ("VPU" if peak_key == "vpu_ops" else "MXU"),
+        "fraction_of_roofline": round(bound / ms, 3) if ms > 0 else 0.0,
+    }
 
 
 def _synth_index(n_docs: int, dim: int, vocab_size: int, terms_per_doc: int,
@@ -65,6 +239,26 @@ def _synth_index(n_docs: int, dim: int, vocab_size: int, terms_per_doc: int,
         agg_texts=[""] * n_docs,
         vocab=vocab, idf=idf, df=df,
         avgdl=float(doc_len.mean()), n_docs=n_docs,
+    )
+
+
+def _tiled_index(pidx, times: int):
+    """Scale a synthetic index by row-tiling (capacity probes measure
+    throughput + HBM footprint, not ranking quality — duplicate rows keep
+    both honest while the host-side build stays seconds, not the ~12 min a
+    fresh 5M-doc Zipf draw costs on this single-core box)."""
+    from review_recommender_tpu.index.schema import ProductIndex
+
+    t = lambda a: np.concatenate([np.asarray(a)] * times, axis=0)
+    n = pidx.n_docs * times
+    return ProductIndex(
+        emb=t(pidx.emb), n_reviews=t(pidx.n_reviews),
+        avg_stars=t(pidx.avg_stars), doc_terms=t(pidx.doc_terms),
+        doc_tf=t(pidx.doc_tf), doc_len=t(pidx.doc_len),
+        gate_bits=t(pidx.gate_bits), valid=t(pidx.valid),
+        skus=[f"S{i}" for i in range(n)], agg_texts=[""] * n,
+        vocab=pidx.vocab, idf=pidx.idf, df=pidx.df,
+        avgdl=pidx.avgdl, n_docs=n,
     )
 
 
@@ -234,7 +428,6 @@ def _ensure_native():
     silently uses the (7x slower cold) Python fallback and the bench
     under-reports host throughput."""
     import subprocess
-    import sys
 
     from review_recommender_tpu.native import native_available
 
@@ -253,10 +446,17 @@ def _ensure_native():
 
     _n._lib.cache_clear()
     print(f"native featurizer available: {native_available()}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
 
 def main():
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
+    _install_guards()
+    _device_probe(float(os.getenv("BENCH_PROBE_TIMEOUT_S", "300")))
+
     from review_recommender_tpu.utils.compile_cache import enable_compile_cache
 
     _ensure_native()
@@ -291,13 +491,6 @@ def main():
                            w_prior=0.2, w_best=0.0, prior_c=20.0,
                            min_reviews=8, gate_penalty=1.0)
 
-    # warmup / compile
-    r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
-    np.asarray(r)
-    np.asarray(engine.query_fused1(qvecs[0], qstrings[0], w, pool, k))
-    _async_read([engine.query_fused_batched(
-        qvecs[:batch], qstrings[:batch], w, pool, k)])
-
     def _retry(fn, attempts=2, wait_s=10.0):
         """The tunnel occasionally hangs a readback or throws a transient
         FAILED_PRECONDITION; one retry keeps the headline measurement (and
@@ -310,199 +503,236 @@ def main():
                     raise
                 time.sleep(wait_s)
 
-    single_qps = _retry(lambda: _single_stream_qps(
-        engine, qvecs, qstrings, w, pool, k, n_q))
+    # ---- HEADLINE FIRST (VERDICT r3 item 1c): warmup, batched QPS at both
+    # batch sizes, CPU reference. Everything after this point is a tail
+    # section that can be skipped or die without losing the round's number.
+    _H.update(n_docs=n_docs, pool=pool, k=k, batch=batch,
+              pool_mode=engine.dense_pool)
+    r, s = engine.query_fused(qvecs[0], qstrings[0], w, pool, k)
+    np.asarray(r)
+    _async_read([engine.query_fused_batched(
+        qvecs[:batch], qstrings[:batch], w, pool, k)])
+    emit({"tail_metric": "warmup done",
+          "t_s": round(time.monotonic() - _T0, 1)})
+
     batched_qps = _retry(lambda: _batched_qps(
         engine, qvecs, qstrings, w, pool, k, n_q, batch))
-    # honest request-response latency (no pipelining) — p50/p99 for the
-    # driver tail (VERDICT r2 item 6); fewer queries, each pays full RTT
-    n_rr = min(n_q, int(os.getenv("BENCH_RR_QUERIES", "64")))
-    rr_qps, rr_p50, rr_p99 = _retry(lambda: _request_response_latency(
-        engine, qvecs, qstrings, w, pool, k, n_rr))
-    print(json.dumps({
-        "tail_metric": ("single-stream request-response latency "
-                        "(no pipelining, full block+read per query)"),
-        "qps": round(rr_qps, 2),
-        "p50_ms": round(rr_p50, 3),
-        "p99_ms": round(rr_p99, 3),
-    }))
+    _H["batched_qps"] = batched_qps
+    head_qps, head_batch = batched_qps, batch
+    if big_batch > batch:
+        _async_read([engine.query_fused_batched(
+            qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
+        big_qps = _retry(lambda: _batched_qps(
+            engine, qvecs, qstrings, w, pool, k, n_q, big_batch))
+        emit({"tail_metric": (f"hybrid bf16 {engine.dense_pool}-pool "
+                              f"batch={big_batch}"),
+              "qps": round(big_qps, 2)})
+        if big_qps > head_qps:
+            head_qps, head_batch = big_qps, big_batch
+    cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
+    _H.update(head_qps=head_qps, head_batch=head_batch, cpu_qps=cpu_qps)
+    emit({"tail_metric": "headline secured",
+          "qps": round(head_qps, 2), "cpu_qps": round(cpu_qps, 2),
+          "t_s": round(time.monotonic() - _T0, 1)})
 
-    def _guard(name, enabled=True):
-        """Run the decorated section iff enabled; a failing section prints
-        an error tail line instead of killing the bench — the driver must
-        always receive the final headline JSON line."""
+    def _guard(name, enabled=True, est_s=60.0):
+        """Run the decorated section iff enabled AND the deadline leaves
+        room for its estimated cost; a failing section prints an error tail
+        line instead of killing the bench — the driver must always receive
+        the final headline JSON line."""
         def deco(fn):
-            if enabled:
-                try:
-                    fn()
-                except Exception as e:
-                    print(json.dumps({
-                        "tail_metric": name,
-                        "error": f"{type(e).__name__}: {e}"[:200],
-                    }))
+            if not enabled:
+                return None
+            left = _remaining()
+            if left < est_s + 30.0:
+                emit({"tail_metric": name,
+                      "skipped": (f"deadline: {left:.0f}s left < "
+                                  f"est {est_s:.0f}s + reserve")})
+                return None
+            t0 = time.monotonic()
+            try:
+                fn()
+            except Exception as e:
+                emit({"tail_metric": name,
+                      "error": f"{type(e).__name__}: {e}"[:200]})
+            else:
+                emit({"tail_metric": f"[{name}] section done",
+                      "seconds": round(time.monotonic() - t0, 1)})
             return None
         return deco
 
-    # tail metrics (driver parses only the LAST line; these are evidence
-    # lines for every README claim — VERDICT r1 item 3)
-    stash = {}  # guard sections feed the headline through here
+    try:
+        _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
+                   w, pool, k, n_q, n_docs, dim, vocab_size, batch, big_batch)
+    finally:
+        _print_headline()
 
-    @_guard("hybrid big batch", big_batch > batch)
-    def _():
-        # big-batch on the default (auto-resolved) engine — the HEADLINE
-        # config: recommended serving setup at the throughput-optimal batch
-        _async_read([engine.query_fused_batched(
-            qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
-        big_qps = _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q,
-                               big_batch)
-        stash["big_qps"] = big_qps
-        print(json.dumps({
-            "tail_metric": (f"hybrid bf16 {engine.dense_pool}-pool "
-                            f"batch={big_batch}"),
-            "qps": round(big_qps, 2)}))
-        bb = min(big_batch * 2, n_q)
-        if bb > big_batch:
-            _async_read([engine.query_fused_batched(
-                qvecs[:bb], qstrings[:bb], w, pool, k)])
-            print(json.dumps({
-                "tail_metric": (f"hybrid bf16 {engine.dense_pool}-pool "
-                                f"batch={bb}"),
-                "qps": round(_batched_qps(
-                    engine, qvecs, qstrings, w, pool, k, n_q, bb), 2)}))
 
-    @_guard("exact pool", os.getenv("BENCH_STRIPED", "1") == "1")
-    def _():
-        # dense_pool=exact (full-corpus lax.top_k): the oracle-parity mode
-        # and the r1/r2 headline config — kept as a tail line so rounds
-        # stay comparable. The auto default replaces it with the striped
-        # two-stage pool at bench sizes (ops/dense.py:striped_topk — exact
-        # scores, ~0.99 pool recall at pool=150/8192 stripes).
-        enge = SearchEngine(IndexBundle(products=pidx),
-                            emb_dtype="bfloat16", gate_mode="device",
-                            dense_pool="exact")
-        _async_read([enge.query_fused_batched(
-            qvecs[:batch], qstrings[:batch], w, pool, k)])
-        np.asarray(enge.query_fused1(qvecs[0], qstrings[0], w, pool, k))
-        exact_qps = _batched_qps(enge, qvecs, qstrings, w, pool, k, n_q,
-                                 batch)
-        exact1 = _single_stream_qps(enge, qvecs, qstrings, w, pool, k, n_q)
-        out = {
-            "tail_metric": f"hybrid bf16 exact-pool batch={batch}",
-            "qps": round(exact_qps, 2),
-            "single_stream_qps": round(exact1, 2),
-        }
-        if big_batch > batch:
-            _async_read([enge.query_fused_batched(
-                qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
-            out[f"qps_batch{big_batch}"] = round(_batched_qps(
-                enge, qvecs, qstrings, w, pool, k, n_q, big_batch), 2)
-        print(json.dumps(out))
-        del enge
+def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
+               w, pool, k, n_q, n_docs, dim, vocab_size, batch, big_batch):
+    """Tail evidence sections, in priority order (most-cited claims first —
+    a deadline cut drops the least important tails). Each emits its own
+    flushed JSON line(s); none can prevent the headline from printing."""
+    import jax
 
-    @_guard("int8 corpus", os.getenv("BENCH_INT8", "1") == "1")
-    def _():
-        eng8 = SearchEngine(IndexBundle(products=pidx), emb_dtype="int8",
-                            gate_mode="device")
-        _async_read([eng8.query_fused_batched(
-            qvecs[:batch], qstrings[:batch], w, pool, k)])
-        np.asarray(eng8.query_fused1(qvecs[0], qstrings[0], w, pool, k))
-        int8_qps = _batched_qps(eng8, qvecs, qstrings, w, pool, k, n_q, batch)
-        single8 = _single_stream_qps(eng8, qvecs, qstrings, w, pool, k, n_q)
-        print(json.dumps({"tail_metric": f"hybrid int8 batch={batch}",
-                          "qps": round(int8_qps, 2),
-                          "single_stream_qps": round(single8, 2)}))
-        del eng8
+    from review_recommender_tpu.index.schema import IndexBundle
+    from review_recommender_tpu.engine.search import SearchEngine
 
-    @_guard("on-device e2e", os.getenv("BENCH_E2E", "1") == "1")
-    def _():
-        e2e_engine = _make_e2e_engine(pidx, dim)
-        rr_k = 50
-        rows, scores = e2e_engine.query_e2e(qstrings[0], w, pool, k, rr_k=rr_k)
-        np.asarray(rows)
-        n_e2e = min(n_q, 64)
-        outs = []
-        t0 = time.perf_counter()
-        for qi in range(n_e2e):
-            outs.append(e2e_engine.query_e2e(qstrings[qi], w, pool, k,
-                                             rr_k=rr_k))
-        _async_read(outs)
-        e2e_ms = (time.perf_counter() - t0) / n_e2e * 1e3
-        print(json.dumps({
-            "tail_metric": (f"fully on-device e2e query (12L encode + "
-                            f"{rr_k}x6L rerank), N={n_docs}"),
-            "ms_per_query": round(e2e_ms, 2),
-        }))
+    on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
 
-    @_guard("pallas BM25", os.getenv("BENCH_PALLAS", "1") == "1")
+    @_guard("single-stream + request-response", est_s=90)
     def _():
-        import jax
+        np.asarray(engine.query_fused1(qvecs[0], qstrings[0], w, pool, k))
+        single_qps = _retry(lambda: _single_stream_qps(
+            engine, qvecs, qstrings, w, pool, k, n_q))
+        _H["single_qps"] = single_qps
+        # honest request-response latency (no pipelining) — p50/p99 for the
+        # driver tail (VERDICT r2 item 6); fewer queries, each pays full RTT
+        n_rr = min(n_q, int(os.getenv("BENCH_RR_QUERIES", "64")))
+        rr_qps, rr_p50, rr_p99 = _retry(lambda: _request_response_latency(
+            engine, qvecs, qstrings, w, pool, k, n_rr))
+        _H["rr_p50"], _H["rr_p99"] = rr_p50, rr_p99
+        emit({
+            "tail_metric": ("single-stream request-response latency "
+                            "(no pipelining, full block+read per query)"),
+            "qps": round(rr_qps, 2),
+            "p50_ms": round(rr_p50, 3),
+            "p99_ms": round(rr_p99, 3),
+            "single_stream_pipelined_qps": round(single_qps, 2),
+        })
+
+    @_guard("pallas BM25", os.getenv("BENCH_PALLAS", "1") == "1" and on_tpu,
+            est_s=90)
+    def _():
         import jax.numpy as jnp
 
-        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
-            # compiled Pallas BM25 kernel vs the XLA scan at full corpus size
-            # (BASELINE config 2 inner loop). Chained timing: each step's
-            # input depends on the previous output, so the device can't
-            # overlap iterations and per-step time is the true program time.
-            from review_recommender_tpu.ops.bm25 import bm25_full_scores
+        # compiled Pallas BM25 kernel vs the XLA scan at full corpus size
+        # (BASELINE config 2 inner loop). Chained timing: each step's
+        # input depends on the previous output, so the device can't
+        # overlap iterations and per-step time is the true program time.
+        from review_recommender_tpu.ops.bm25 import bm25_full_scores
+        from review_recommender_tpu.ops.pallas import (
+            bm25_full_scores_pallas,
+        )
+
+        a = engine.arrays
+        qf = engine.featurizer.featurize(qstrings[0])
+        q_terms = jnp.asarray(qf.q_terms)
+
+        def chain(fn):
+            def step(q_idf):
+                s = fn(a["doc_terms"], a["doc_tf"], a["doc_len"],
+                       q_terms, q_idf, engine.avgdl)
+                return q_idf + 1e-12 * s[: q_idf.shape[0]]
+            step = jax.jit(step)
+            x = step(jnp.asarray(qf.q_idf))
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                x = step(x)
+            jax.block_until_ready(x)
+            return (time.perf_counter() - t0) / 20 * 1e3
+
+        xla_ms = chain(bm25_full_scores)
+        pallas_ms = chain(bm25_full_scores_pallas)
+
+        # packed-transposed kernel (4 B/posting, corpus on the lane
+        # axis): the speed-of-light follow-up from examples/roofline.py
+        packed = engine._bm25_packed()
+        packed_ms = None
+        n_pad = pidx.n_padded
+        l_terms = int(np.asarray(a["doc_terms"]).shape[1]) \
+            if hasattr(a["doc_terms"], "shape") else 64
+        n_q_terms = int(q_terms.shape[0])
+        if packed is not None:
             from review_recommender_tpu.ops.pallas import (
-                bm25_full_scores_pallas,
+                bm25_full_scores_packed_pallas,
             )
 
-            a = engine.arrays
-            qf = engine.featurizer.featurize(qstrings[0])
-            q_terms = jnp.asarray(qf.q_terms)
+            pk_t, dl_p, _valid_p = packed
 
-            def chain(fn):
-                def step(q_idf):
-                    s = fn(a["doc_terms"], a["doc_tf"], a["doc_len"],
-                           q_terms, q_idf, engine.avgdl)
-                    return q_idf + 1e-12 * s[: q_idf.shape[0]]
-                step = jax.jit(step)
-                x = step(jnp.asarray(qf.q_idf))
-                jax.block_until_ready(x)
-                t0 = time.perf_counter()
-                for _ in range(20):
-                    x = step(x)
-                jax.block_until_ready(x)
-                return (time.perf_counter() - t0) / 20 * 1e3
+            def step_p(q_idf):
+                s = bm25_full_scores_packed_pallas(
+                    pk_t, dl_p, q_terms, q_idf, engine.avgdl)
+                return q_idf + 1e-12 * s[: q_idf.shape[0]]
 
-            xla_ms = chain(bm25_full_scores)
-            pallas_ms = chain(bm25_full_scores_pallas)
+            step_p = jax.jit(step_p)
+            x = step_p(jnp.asarray(qf.q_idf))
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                x = step_p(x)
+            jax.block_until_ready(x)
+            packed_ms = (time.perf_counter() - t0) / 20 * 1e3
 
-            # packed-transposed kernel (4 B/posting, corpus on the lane
-            # axis): the speed-of-light follow-up from examples/roofline.py
-            packed = engine._bm25_packed()
-            packed_ms = None
-            if packed is not None:
-                from review_recommender_tpu.ops.pallas import (
-                    bm25_full_scores_packed_pallas,
-                )
+        out = {
+            "tail_metric": f"full-corpus BM25 scan, N={n_docs} (compiled)",
+            "pallas_kernel_ms": round(pallas_ms, 3),
+            "xla_scan_ms": round(xla_ms, 3),
+            "speedup": round(xla_ms / pallas_ms, 2),
+        }
+        if packed_ms:
+            n_lanes = int(pk_t.shape[1])
+            out.update({
+                "packed_kernel_ms": round(packed_ms, 3),
+                "packed_speedup_vs_xla": round(xla_ms / packed_ms, 2),
+                # fraction-of-roofline (VERDICT r3 item 2): same bound model
+                # as evals_out/roofline.md
+                "packed_roofline": _roofline(
+                    packed_ms,
+                    flops=5 * n_lanes * l_terms * (n_q_terms + 1),
+                    bytes_moved=n_lanes * l_terms * 4 + n_lanes * 8,
+                    peak_key="vpu_ops"),
+            })
+        out["classic_roofline"] = _roofline(
+            pallas_ms,
+            flops=5 * n_pad * l_terms * (n_q_terms + 1),
+            bytes_moved=n_pad * l_terms * 8 + n_pad * 8,
+            peak_key="vpu_ops")
+        emit(out)
 
-                pk_t, dl_p, _valid_p = packed
+    @_guard("dense pool roofline",
+            os.getenv("BENCH_ROOFLINE", "1") == "1" and on_tpu, est_s=60)
+    def _():
+        import jax.numpy as jnp
 
-                def step_p(q_idf):
-                    s = bm25_full_scores_packed_pallas(
-                        pk_t, dl_p, q_terms, q_idf, engine.avgdl)
-                    return q_idf + 1e-12 * s[: q_idf.shape[0]]
+        # fraction-of-roofline for the headline's hot kernel: the fused
+        # score+pool scan at the headline batch, timed chained (no dispatch
+        # overhead) against max(corpus-bytes/BW, matmul-flops/peak).
+        from review_recommender_tpu.ops.dense import dense_striped_topk_scan
 
-                step_p = jax.jit(step_p)
-                x = step_p(jnp.asarray(qf.q_idf))
-                jax.block_until_ready(x)
-                t0 = time.perf_counter()
-                for _ in range(20):
-                    x = step_p(x)
-                jax.block_until_ready(x)
-                packed_ms = (time.perf_counter() - t0) / 20 * 1e3
+        a = engine.arrays
+        if "emb_s" not in a:
+            emit({"tail_metric": "dense pool roofline",
+                  "skipped": "engine not in striped bf16 mode"})
+            return
+        scan_b = jax.vmap(lambda q: dense_striped_topk_scan(
+            a["emb_s"], a["valid_s"], q, pool))
 
-            print(json.dumps({
-                "tail_metric": f"full-corpus BM25 scan, N={n_docs} (compiled)",
-                "pallas_kernel_ms": round(pallas_ms, 3),
-                "xla_scan_ms": round(xla_ms, 3),
-                "speedup": round(xla_ms / pallas_ms, 2),
-                **({"packed_kernel_ms": round(packed_ms, 3),
-                    "packed_speedup_vs_xla": round(xla_ms / packed_ms, 2)}
-                   if packed_ms else {}),
-            }))
+        @jax.jit
+        def step(q):
+            s, _ = scan_b(q)
+            return q + s[:, :1].astype(q.dtype) * jnp.asarray(1e-6, q.dtype)
+
+        b = big_batch
+        x = jnp.asarray(qvecs[:b], jnp.bfloat16)
+        x = step(x)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            x = step(x)
+        jax.block_until_ready(x)
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        emit({
+            "tail_metric": (f"dense fused score+pool scan bf16 "
+                            f"(B={b}, N={n_docs}, D={dim}, chained)"),
+            "measured_ms": round(ms, 3),
+            "roofline": _roofline(ms, flops=2 * b * n_docs * dim,
+                                  bytes_moved=n_docs * dim * 2),
+        })
+
+    n_clients = int(os.getenv("BENCH_SERVE_CLIENTS", "64"))
+    per_client = int(os.getenv("BENCH_SERVE_REQS", "16"))
 
     def _bench_enc(text):
         import zlib
@@ -519,7 +749,7 @@ def main():
         single-core host's client side before either server does."""
         import http.client
         import json as _json
-        import threading
+        import threading as _threading
         from urllib.parse import urlsplit
 
         u = urlsplit(url)
@@ -552,7 +782,7 @@ def main():
         errs = []
         lat = []  # per-request wall times (list.append is GIL-atomic)
         client(0, errs)  # warm
-        threads = [threading.Thread(target=client, args=(ci, errs, lat))
+        threads = [_threading.Thread(target=client, args=(ci, errs, lat))
                    for ci in range(n_clients)]
         t0 = time.perf_counter()
         for th in threads:
@@ -581,7 +811,7 @@ def main():
         cost — on a single host core that is a real limiter)."""
         import json as _json
         import socket
-        import threading
+        import threading as _threading
 
         body = _json.dumps({"query": qstrings[0], "rerank_k": 0}).encode()
         raw = (b"POST /search HTTP/1.1\r\nHost: x\r\n"
@@ -614,7 +844,7 @@ def main():
             s.close()
 
         conn_worker(0)  # warm
-        threads = [threading.Thread(target=conn_worker, args=(i,))
+        threads = [_threading.Thread(target=conn_worker, args=(i,))
                    for i in range(n_conn)]
         t0 = time.perf_counter()
         for th in threads:
@@ -623,80 +853,149 @@ def main():
             th.join()
         return n_conn * per_conn / (time.perf_counter() - t0)
 
-    n_clients = int(os.getenv("BENCH_SERVE_CLIENTS", "64"))
-    per_client = int(os.getenv("BENCH_SERVE_REQS", "16"))
+    @_guard("native HTTP serve",
+            os.getenv("BENCH_SERVE_NATIVE", "1") == "1", est_s=120)
+    def _():
+        # closed-loop load against the C++ epoll front end
+        # (native/server.cc): HTTP parse + micro-batch windowing in C++,
+        # ONE Python entry per window — isolates how much of the stdlib
+        # number below is Python HTTP/threading overhead.
+        from review_recommender_tpu.native import native_server_available
 
-    @_guard("live HTTP serve", os.getenv("BENCH_SERVE", "1") == "1")
+        if not native_server_available():
+            emit({"tail_metric": "native HTTP serve",
+                  "skipped": "librrt_native.so absent"})
+            return
+        from review_recommender_tpu.serve.native_server import serve_native
+
+        engine.query_encoder = _bench_enc
+        try:
+            srv = serve_native(engine, host="127.0.0.1", port=0, warmup=True)
+            url = f"http://127.0.0.1:{srv.port}/search"
+            qps, p50, p99, errs = _closed_loop_http(url, n_clients,
+                                                    per_client)
+            pipe_qps = _pipelined_load(srv.port, n_clients, per_client)
+            emit({
+                "tail_metric": (f"live HTTP /search via NATIVE front end, "
+                                f"{n_clients} concurrent closed-loop "
+                                f"clients (single-core host)"),
+                "qps": round(qps, 2),
+                "p50_ms": p50,
+                "p99_ms": p99,
+                "qps_pipelined": round(pipe_qps, 2),
+                "errors": len(errs),
+                "error_sample": sorted(set(errs))[:3],
+                "native_server": srv.stats(),
+            })
+            srv.close()
+        finally:
+            engine.query_encoder = None
+
+    @_guard("live HTTP serve", os.getenv("BENCH_SERVE", "1") == "1",
+            est_s=120)
     def _():
         # closed-loop concurrent clients against the live HTTP server: the
         # micro-batcher (serve/api.py) coalesces concurrent /search into
         # batched device programs, so concurrent QPS approaches batched QPS
         # (VERDICT r1 item 4). Clients run in-process on this host's single
         # core, so this measures the full serve stack, client cost included.
-        import threading
+        import threading as _threading
 
         from review_recommender_tpu.serve.api import serve as serve_http
 
         engine.query_encoder = _bench_enc
-        srv = serve_http(engine, host="127.0.0.1", port=0, warmup=True)
-        t = threading.Thread(target=srv.serve_forever, daemon=True)
-        t.start()
-        url = f"http://127.0.0.1:{srv.server_address[1]}/search"
-        qps, p50, p99, errs = _closed_loop_http(url, n_clients, per_client)
-        pipe_qps = _pipelined_load(srv.server_address[1], n_clients,
-                                   per_client)
-        svc = getattr(srv, "service", None)
-        stats = svc.info() if svc is not None else {}
-        print(json.dumps({
-            "tail_metric": (f"live HTTP /search, {n_clients} concurrent "
-                            f"closed-loop clients (single-core host)"),
-            "qps": round(qps, 2),
-            "p50_ms": p50,
-            "p99_ms": p99,
-            "qps_pipelined": round(pipe_qps, 2),
-            "errors": len(errs),
-            "error_sample": sorted(set(errs))[:3],
-            "microbatch": stats.get("microbatch"),
-        }))
-        srv.shutdown()
-        svc.close()
-        engine.query_encoder = None
+        try:
+            srv = serve_http(engine, host="127.0.0.1", port=0, warmup=True)
+            t = _threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            url = f"http://127.0.0.1:{srv.server_address[1]}/search"
+            qps, p50, p99, errs = _closed_loop_http(url, n_clients,
+                                                    per_client)
+            pipe_qps = _pipelined_load(srv.server_address[1], n_clients,
+                                       per_client)
+            svc = getattr(srv, "service", None)
+            stats = svc.info() if svc is not None else {}
+            emit({
+                "tail_metric": (f"live HTTP /search, {n_clients} concurrent "
+                                f"closed-loop clients (single-core host)"),
+                "qps": round(qps, 2),
+                "p50_ms": p50,
+                "p99_ms": p99,
+                "qps_pipelined": round(pipe_qps, 2),
+                "errors": len(errs),
+                "error_sample": sorted(set(errs))[:3],
+                "microbatch": stats.get("microbatch"),
+            })
+            srv.shutdown()
+            svc.close()
+        finally:
+            engine.query_encoder = None
 
-    @_guard("native HTTP serve", os.getenv("BENCH_SERVE_NATIVE", "1") == "1")
+    @_guard("exact pool", os.getenv("BENCH_STRIPED", "1") == "1", est_s=120)
     def _():
-        # same closed-loop load against the C++ epoll front end
-        # (native/server.cc): HTTP parse + micro-batch windowing in C++,
-        # ONE Python entry per window — isolates how much of the stdlib
-        # number above is Python HTTP/threading overhead.
-        from review_recommender_tpu.native import native_server_available
+        # dense_pool=exact (full-corpus lax.top_k): the oracle-parity mode
+        # and the r1/r2 headline config — kept as a tail line so rounds
+        # stay comparable. The auto default replaces it with the striped
+        # two-stage pool at bench sizes (ops/dense.py:striped_topk — exact
+        # scores, ~0.99 pool recall at pool=150/8192 stripes).
+        enge = SearchEngine(IndexBundle(products=pidx),
+                            emb_dtype="bfloat16", gate_mode="device",
+                            dense_pool="exact")
+        _async_read([enge.query_fused_batched(
+            qvecs[:batch], qstrings[:batch], w, pool, k)])
+        np.asarray(enge.query_fused1(qvecs[0], qstrings[0], w, pool, k))
+        exact_qps = _batched_qps(enge, qvecs, qstrings, w, pool, k, n_q,
+                                 batch)
+        exact1 = _single_stream_qps(enge, qvecs, qstrings, w, pool, k, n_q)
+        out = {
+            "tail_metric": f"hybrid bf16 exact-pool batch={batch}",
+            "qps": round(exact_qps, 2),
+            "single_stream_qps": round(exact1, 2),
+        }
+        if big_batch > batch:
+            _async_read([enge.query_fused_batched(
+                qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
+            out[f"qps_batch{big_batch}"] = round(_batched_qps(
+                enge, qvecs, qstrings, w, pool, k, n_q, big_batch), 2)
+        emit(out)
 
-        if not native_server_available():
-            print(json.dumps({"tail_metric": "native HTTP serve",
-                              "skipped": "librrt_native.so absent"}))
-            return
-        from review_recommender_tpu.serve.native_server import serve_native
+    @_guard("int8 corpus", os.getenv("BENCH_INT8", "1") == "1", est_s=120)
+    def _():
+        eng8 = SearchEngine(IndexBundle(products=pidx), emb_dtype="int8",
+                            gate_mode="device")
+        _async_read([eng8.query_fused_batched(
+            qvecs[:batch], qstrings[:batch], w, pool, k)])
+        np.asarray(eng8.query_fused1(qvecs[0], qstrings[0], w, pool, k))
+        int8_qps = _batched_qps(eng8, qvecs, qstrings, w, pool, k, n_q,
+                                batch)
+        single8 = _single_stream_qps(eng8, qvecs, qstrings, w, pool, k, n_q)
+        emit({"tail_metric": f"hybrid int8 batch={batch}",
+              "qps": round(int8_qps, 2),
+              "single_stream_qps": round(single8, 2)})
 
-        engine.query_encoder = _bench_enc
-        srv = serve_native(engine, host="127.0.0.1", port=0, warmup=True)
-        url = f"http://127.0.0.1:{srv.port}/search"
-        qps, p50, p99, errs = _closed_loop_http(url, n_clients, per_client)
-        pipe_qps = _pipelined_load(srv.port, n_clients, per_client)
-        print(json.dumps({
-            "tail_metric": (f"live HTTP /search via NATIVE front end, "
-                            f"{n_clients} concurrent closed-loop clients "
-                            f"(single-core host)"),
-            "qps": round(qps, 2),
-            "p50_ms": p50,
-            "p99_ms": p99,
-            "qps_pipelined": round(pipe_qps, 2),
-            "errors": len(errs),
-            "error_sample": sorted(set(errs))[:3],
-            "native_server": srv.stats(),
-        }))
-        srv.close()
-        engine.query_encoder = None
+    @_guard("on-device e2e", os.getenv("BENCH_E2E", "1") == "1", est_s=180)
+    def _():
+        e2e_engine = _make_e2e_engine(pidx, dim)
+        rr_k = 50
+        rows, scores = e2e_engine.query_e2e(qstrings[0], w, pool, k,
+                                            rr_k=rr_k)
+        np.asarray(rows)
+        n_e2e = min(n_q, 64)
+        outs = []
+        t0 = time.perf_counter()
+        for qi in range(n_e2e):
+            outs.append(e2e_engine.query_e2e(qstrings[qi], w, pool, k,
+                                             rr_k=rr_k))
+        _async_read(outs)
+        e2e_ms = (time.perf_counter() - t0) / n_e2e * 1e3
+        emit({
+            "tail_metric": (f"fully on-device e2e query (12L encode + "
+                            f"{rr_k}x6L rerank), N={n_docs}"),
+            "ms_per_query": round(e2e_ms, 2),
+        })
 
-    @_guard("coalesced rerank", os.getenv("BENCH_RERANK", "1") == "1")
+    @_guard("coalesced rerank", os.getenv("BENCH_RERANK", "1") == "1",
+            est_s=240)
     def _():
         # live cross-encoder rerank, served two ways on the same engine:
         # reference-style one-request-at-a-time (app_product_search.py:
@@ -756,19 +1055,20 @@ def main():
                 t_coal.append(time.perf_counter() - t0)
             ms_seq = float(np.median(t_seq)) * 1e3
             ms_coal = float(np.median(t_coal)) * 1e3
-            print(json.dumps({
+            emit({
                 "tail_metric": (f"coalesced live rerank, {B} riders x "
                                 f"rerank_k={rr_k} (~1.9KB docs, 6L CE)"),
                 "sequential_ms": round(ms_seq, 1),
                 "coalesced_ms": round(ms_coal, 1),
                 "speedup": round(ms_seq / ms_coal, 2),
                 "rerank_qps": round(B / (ms_coal / 1e3), 2),
-            }))
+            })
         finally:
             engine.products.agg_texts = saved_texts
             engine.cross_encoder = None
 
-    @_guard("contrastive train step", os.getenv("BENCH_TRAIN", "1") == "1")
+    @_guard("contrastive train step", os.getenv("BENCH_TRAIN", "1") == "1",
+            est_s=180)
     def _():
         # contrastive fine-tune throughput on the flagship tower size
         # (bge-small 12L): full train step = both tower forwards + InfoNCE +
@@ -802,159 +1102,159 @@ def main():
         for _ in range(reps_t):
             tr.train_step(*batch_t)  # blocks per step (metrics readback)
         dt = time.perf_counter() - t0
-        print(json.dumps({
+        emit({
             "tail_metric": (f"contrastive train step, bge-small 12L "
                             f"batch={Bt} seq={Lt}"),
             "pairs_per_s": round(reps_t * Bt / dt, 1),
             "step_ms": round(dt / reps_t * 1e3, 2),
-        }))
-        del tr, params_t
+        })
 
-    @_guard("fused stage-A kernel", os.getenv("BENCH_STAGEA", "1") == "1")
+    @_guard("fused stage-A kernel",
+            os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu, est_s=120)
     def _():
-        import jax
         import jax.numpy as jnp
 
-        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
-            # fused stage-A Pallas kernel (dense matmul + per-tile partial
-            # top-k, no (B, N) HBM materialization) vs the XLA stage-A
-            # (matmul + global lax.top_k + winner gather). Same chained-
-            # timing method as the BM25 section. VERDICT r1 item 6.
-            from review_recommender_tpu.index.build import eager_bm25_scores
-            from review_recommender_tpu.ops.dense import dense_topk_batched
-            from review_recommender_tpu.ops.pallas.stage_a_kernel import (
-                TILE_N,
-                stage_a_fused_pallas,
-            )
+        # fused stage-A Pallas kernel (dense matmul + per-tile partial
+        # top-k, no (B, N) HBM materialization) vs the XLA stage-A
+        # (matmul + global lax.top_k + winner gather). Same chained-
+        # timing method as the BM25 section. VERDICT r1 item 6.
+        from review_recommender_tpu.index.build import eager_bm25_scores
+        from review_recommender_tpu.ops.dense import dense_topk_batched
+        from review_recommender_tpu.ops.pallas.stage_a_kernel import (
+            TILE_N,
+            stage_a_fused_pallas,
+        )
 
-            n_pad = pidx.n_padded
-            n_k = (n_pad + TILE_N - 1) // TILE_N * TILE_N
-            padk = lambda x: np.pad(
-                x, [(0, n_k - n_pad)] + [(0, 0)] * (x.ndim - 1))
-            emb_k = jnp.asarray(padk(pidx.emb), jnp.bfloat16)
-            valid_k = jnp.asarray(padk(pidx.valid))
-            terms_k = jnp.asarray(padk(pidx.doc_terms))
-            bm25_k = jnp.asarray(padk(eager_bm25_scores(
-                pidx.doc_terms, pidx.doc_tf, pidx.doc_len, pidx.idf,
-                pidx.avgdl)))
-            qv = jnp.asarray(qvecs[:batch])
-            qt = jnp.asarray(qterm_ids[:batch])
+        n_pad = pidx.n_padded
+        n_k = (n_pad + TILE_N - 1) // TILE_N * TILE_N
+        padk = lambda x: np.pad(
+            x, [(0, n_k - n_pad)] + [(0, 0)] * (x.ndim - 1))
+        emb_k = jnp.asarray(padk(pidx.emb), jnp.bfloat16)
+        valid_k = jnp.asarray(padk(pidx.valid))
+        terms_k = jnp.asarray(padk(pidx.doc_terms))
+        bm25_k = jnp.asarray(padk(eager_bm25_scores(
+            pidx.doc_terms, pidx.doc_tf, pidx.doc_len, pidx.idf,
+            pidx.avgdl)))
+        qv = jnp.asarray(qvecs[:batch])
+        qt = jnp.asarray(qterm_ids[:batch])
 
-            def chain_sa(fn):
-                def step(q):
-                    out = fn(q)
-                    # fold a hair of every output back into q: serializes
-                    # steps so per-step time is true program time
-                    eps = (jnp.sum(out[0][:, :1]) + jnp.sum(
-                        out[2][:, :1])) * 1e-12
-                    return q + eps.astype(q.dtype)
-                x = step(qv)
-                jax.block_until_ready(x)
+        def chain_sa(fn):
+            def step(q):
+                out = fn(q)
+                # fold a hair of every output back into q: serializes
+                # steps so per-step time is true program time
+                eps = (jnp.sum(out[0][:, :1]) + jnp.sum(
+                    out[2][:, :1])) * 1e-12
+                return q + eps.astype(q.dtype)
+            x = step(qv)
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                x = step(x)
+            jax.block_until_ready(x)
+            return (time.perf_counter() - t0) / 20 * 1e3
+
+        @jax.jit
+        def xla_stage_a(q):
+            dense, idx = dense_topk_batched(emb_k, q, valid_k, pool)
+            cand_terms = jnp.take(terms_k, idx, axis=0)
+            cand_bm25 = jnp.take(bm25_k, idx, axis=0)
+            match = cand_terms[:, :, :, None] == qt[:, None, None, :]
+            bm = jnp.sum(jnp.where(match, cand_bm25[:, :, :, None], 0.0),
+                         axis=(2, 3))
+            return dense, idx, bm
+
+        @jax.jit
+        def pallas_stage_a(q):
+            return stage_a_fused_pallas(
+                emb_k, valid_k, terms_k, bm25_k, q, qt, pool=pool)
+
+        xla_ms = chain_sa(xla_stage_a)
+        pallas_ms = chain_sa(pallas_stage_a)
+        # recall of the kernel's approximate pool vs the exact one
+        d_x, i_x, _ = map(np.asarray, xla_stage_a(qv))
+        d_p, i_p, _ = map(np.asarray, pallas_stage_a(qv))
+        rec = np.mean([
+            len(set(i_x[b].tolist()) & set(i_p[b].tolist())) / pool
+            for b in range(batch)
+        ])
+        emit({
+            "tail_metric": (f"fused stage-A (dense+top-pool+BM25 gather)"
+                            f" batch={batch}, N={n_docs} (compiled)"),
+            "pallas_kernel_ms": round(pallas_ms, 3),
+            "xla_ms": round(xla_ms, 3),
+            "speedup": round(xla_ms / pallas_ms, 2),
+            "pool_recall_vs_exact": round(float(rec), 4),
+        })
+        del emb_k, valid_k, terms_k, bm25_k
+
+    @_guard("fused attention",
+            os.getenv("BENCH_ATTN", "1") == "1" and on_tpu, est_s=120)
+    def _():
+        import jax.numpy as jnp
+
+        # Fused Pallas MHA (ops/pallas/attention_kernel.py) vs the XLA
+        # einsum attention at the cross-encoder's rerank shape
+        # (B=64 pairs, S=512, 12 heads of 32): the (S, S) logits stay
+        # in VMEM instead of round-tripping HBM. Timed as a chained
+        # fori_loop INSIDE one program so the tunnel's ~2.5 ms
+        # dispatch floor can't mask the program-level difference.
+        from review_recommender_tpu.ops.pallas.attention_kernel import (
+            mha_pallas,
+            mha_xla,
+        )
+
+        ab, as_, heads, hd = 64, 512, 12, 384
+        r2 = np.random.default_rng(3)
+        mk = lambda: jnp.asarray(
+            r2.standard_normal((ab, as_, hd)), jnp.bfloat16)
+        q0, kk, vv = mk(), mk(), mk()
+        lens = r2.integers(as_ // 2, as_ + 1, size=ab)
+        bias = jnp.asarray(np.where(
+            np.arange(as_)[None, :] < lens[:, None], 0.0, -1e30),
+            jnp.float32)
+
+        res = {}
+        for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
+            @jax.jit
+            def run(q, kq, vq, bq, n, f=f):
+                body = lambda i, qq: qq + f(
+                    qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
+                return jax.lax.fori_loop(0, n, body, q)
+
+            np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
+
+            def timed(n):
+                # host readback, not block_until_ready: the tunnel's
+                # block can return before the computation ran (observed
+                # for scalar outputs); fetching real values is the only
+                # reliable fence
                 t0 = time.perf_counter()
-                for _ in range(20):
-                    x = step(x)
-                jax.block_until_ready(x)
-                return (time.perf_counter() - t0) / 20 * 1e3
+                np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
+                return time.perf_counter() - t0
 
-            @jax.jit
-            def xla_stage_a(q):
-                dense, idx = dense_topk_batched(emb_k, q, valid_k, pool)
-                cand_terms = jnp.take(terms_k, idx, axis=0)
-                cand_bm25 = jnp.take(bm25_k, idx, axis=0)
-                match = cand_terms[:, :, :, None] == qt[:, None, None, :]
-                bm = jnp.sum(jnp.where(match, cand_bm25[:, :, :, None], 0.0),
-                             axis=(2, 3))
-                return dense, idx, bm
+            timed(5)
+            res[name] = (timed(25) - timed(5)) / 20 * 1e3
+        # numerical parity of the two paths on this shape
+        d = np.abs(
+            np.asarray(mha_pallas(q0, kk, vv, bias, heads),
+                       dtype=np.float32)
+            - np.asarray(mha_xla(q0, kk, vv, bias, heads),
+                         dtype=np.float32))
+        emit({
+            "tail_metric": ("fused MHA kernel, cross-encoder rerank "
+                            f"shape B={ab} S={as_} (in-program chain)"),
+            "pallas_ms": round(res["pallas"], 3),
+            "xla_ms": round(res["xla"], 3),
+            "speedup": round(res["xla"] / res["pallas"], 2),
+            "max_abs_diff": round(float(d.max()), 4),
+            "pallas_roofline": _roofline(
+                res["pallas"], flops=4 * ab * as_ * as_ * hd,
+                bytes_moved=4 * ab * as_ * hd * 2),
+        })
+        del q0, kk, vv
 
-            @jax.jit
-            def pallas_stage_a(q):
-                return stage_a_fused_pallas(
-                    emb_k, valid_k, terms_k, bm25_k, q, qt, pool=pool)
-
-            xla_ms = chain_sa(xla_stage_a)
-            pallas_ms = chain_sa(pallas_stage_a)
-            # recall of the kernel's approximate pool vs the exact one
-            d_x, i_x, _ = map(np.asarray, xla_stage_a(qv))
-            d_p, i_p, _ = map(np.asarray, pallas_stage_a(qv))
-            rec = np.mean([
-                len(set(i_x[b].tolist()) & set(i_p[b].tolist())) / pool
-                for b in range(batch)
-            ])
-            print(json.dumps({
-                "tail_metric": (f"fused stage-A (dense+top-pool+BM25 gather)"
-                                f" batch={batch}, N={n_docs} (compiled)"),
-                "pallas_kernel_ms": round(pallas_ms, 3),
-                "xla_ms": round(xla_ms, 3),
-                "speedup": round(xla_ms / pallas_ms, 2),
-                "pool_recall_vs_exact": round(float(rec), 4),
-            }))
-            del emb_k, valid_k, terms_k, bm25_k
-
-    @_guard("fused attention", os.getenv("BENCH_ATTN", "1") == "1")
-    def _():
-        import jax
-        import jax.numpy as jnp
-
-        if jax.devices()[0].platform.lower() in ("tpu", "axon"):
-            # Fused Pallas MHA (ops/pallas/attention_kernel.py) vs the XLA
-            # einsum attention at the cross-encoder's rerank shape
-            # (B=64 pairs, S=512, 12 heads of 32): the (S, S) logits stay
-            # in VMEM instead of round-tripping HBM. Timed as a chained
-            # fori_loop INSIDE one program so the tunnel's ~2.5 ms
-            # dispatch floor can't mask the program-level difference.
-            from review_recommender_tpu.ops.pallas.attention_kernel import (
-                mha_pallas,
-                mha_xla,
-            )
-
-            ab, as_, heads, hd = 64, 512, 12, 384
-            r2 = np.random.default_rng(3)
-            mk = lambda: jnp.asarray(
-                r2.standard_normal((ab, as_, hd)), jnp.bfloat16)
-            q0, kk, vv = mk(), mk(), mk()
-            lens = r2.integers(as_ // 2, as_ + 1, size=ab)
-            bias = jnp.asarray(np.where(
-                np.arange(as_)[None, :] < lens[:, None], 0.0, -1e30),
-                jnp.float32)
-
-            res = {}
-            for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
-                @jax.jit
-                def run(q, kq, vq, bq, n, f=f):
-                    body = lambda i, qq: qq + f(
-                        qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
-                    return jax.lax.fori_loop(0, n, body, q)
-
-                np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
-
-                def timed(n):
-                    # host readback, not block_until_ready: the tunnel's
-                    # block can return before the computation ran (observed
-                    # for scalar outputs); fetching real values is the only
-                    # reliable fence
-                    t0 = time.perf_counter()
-                    np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
-                    return time.perf_counter() - t0
-
-                timed(5)
-                res[name] = (timed(25) - timed(5)) / 20 * 1e3
-            # numerical parity of the two paths on this shape
-            d = np.abs(
-                np.asarray(mha_pallas(q0, kk, vv, bias, heads),
-                           dtype=np.float32)
-                - np.asarray(mha_xla(q0, kk, vv, bias, heads),
-                             dtype=np.float32))
-            print(json.dumps({
-                "tail_metric": ("fused MHA kernel, cross-encoder rerank "
-                                f"shape B={ab} S={as_} (in-program chain)"),
-                "pallas_ms": round(res["pallas"], 3),
-                "xla_ms": round(res["xla"], 3),
-                "speedup": round(res["xla"] / res["pallas"], 2),
-                "max_abs_diff": round(float(d.max()), 4),
-            }))
-            del q0, kk, vv
-
-    @_guard("1M-doc scale", os.getenv("BENCH_BIGN", "1") == "1")
+    @_guard("1M-doc scale", os.getenv("BENCH_BIGN", "1") == "1", est_s=240)
     def _():
         # Production-scale evidence: the full hybrid path at N=1M docs on
         # ONE chip, in the recommended serving config (int8 corpus +
@@ -978,36 +1278,48 @@ def main():
             qvecs[:bb], qstrings[:bb], w, pool, k)])
         big_qps = _batched_qps(eng_big, qvecs, qstrings, w, pool, k,
                                n_q, bb, reps=1)
-        print(json.dumps({
+        emit({
             "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
                             f"N={n_big} (one chip)"),
             "qps": round(big_qps, 2),
             "hbm_bytes": int(hbm_int8),
             "hbm_gib": round(hbm_int8 / 2**30, 2),
-        }))
+        })
         del eng_big, pidx_big, bundle_big
 
-    cpu_qps = _cpu_reference_qps(pidx, qvecs, qterm_ids, pool, k, n_q_cpu)
+    @_guard("5M-doc capacity probe",
+            os.getenv("BENCH_SCALE", "1") == "1", est_s=330)
+    def _():
+        # The examples/scale_probe.py capacity claim (1,636 q/s at
+        # 6.37 GiB HBM, N=5M), made driver-visible (VERDICT r3 item 6).
+        # Corpus = the 200k bench index row-tiled 25x: seconds to build
+        # instead of the ~12 min a fresh 5M Zipf draw costs on one core;
+        # throughput + HBM footprint are unaffected by duplicate rows.
+        from review_recommender_tpu.index.schema import footprint_total
 
-    # headline = the recommended serving config (auto-resolved pool mode)
-    # at the throughput-optimal batch; batch=32 and exact-pool numbers stay
-    # as tail lines above for cross-round comparability
-    head_qps = stash.get("big_qps", batched_qps)
-    head_batch = big_batch if "big_qps" in stash else batch
-    print(json.dumps({
-        "metric": (f"hybrid search throughput, batch={head_batch}, "
-                   f"{engine.dense_pool} pool "
-                   f"(N={n_docs}, pool={pool}, k={k}; "
-                   f"batch={batch} {round(batched_qps, 1)} q/s, "
-                   f"single-stream {round(single_qps, 1)} q/s, "
-                   f"request-response p50 {round(rr_p50, 1)} ms, "
-                   f"CPU-reference {round(cpu_qps, 1)} q/s)"),
-        "value": round(head_qps, 2),
-        "unit": "queries/s",
-        "vs_baseline": round(head_qps / cpu_qps, 2),
-        "p50_ms": round(rr_p50, 3),
-        "p99_ms": round(rr_p99, 3),
-    }))
+        n_scale = int(os.getenv("BENCH_SCALE_DOCS", "5000000"))
+        times = max(n_scale // max(pidx.n_docs, 1), 2)
+        pidx_s = _tiled_index(pidx, times)
+        bundle_s = IndexBundle(products=pidx_s)
+        _, hbm = footprint_total(bundle_s, quantize_int8=True, striped=True)
+        eng_s = SearchEngine(bundle_s, emb_dtype="int8",
+                             gate_mode="device", dense_pool="striped")
+        bb = min(big_batch, n_q)
+        _async_read([eng_s.query_fused_batched(
+            qvecs[:bb], qstrings[:bb], w, pool, k)])
+        t0 = time.perf_counter()
+        _async_read([eng_s.query_fused_batched(
+            qvecs[lo:lo + bb], qstrings[lo:lo + bb], w, pool, k)
+            for lo in range(0, n_q, bb)])
+        qps = n_q / (time.perf_counter() - t0)
+        emit({
+            "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
+                            f"N={pidx_s.n_docs} capacity probe (one chip)"),
+            "qps": round(qps, 2),
+            "hbm_bytes": int(hbm),
+            "hbm_gib": round(hbm / 2**30, 2),
+        })
+        del eng_s, pidx_s, bundle_s
 
 
 if __name__ == "__main__":
