@@ -486,7 +486,43 @@ def cmd_topics(args) -> int:
             "quotes": pick_quotes(t_texts, emb[mask], centers[tid],
                                   n_quotes=args.n_quotes),
         })
-    metrics = aspect_metrics(topic_ids, stars, labels)
+
+    # optional LLM naming pass over the rolled-up topics (the reference's
+    # archived 06_* scripts; adapters in topics/llm_clients.py). TF-IDF
+    # labels above stay as the no-LLM default AND the fallback.
+    llm_aspects = None
+    if getattr(args, "llm", None):
+        from review_recommender_tpu.topics.llm_clients import (
+            OllamaClient,
+            from_spec,
+            label_topics,
+        )
+
+        client = from_spec(args.llm, model=args.llm_model)
+        if isinstance(client, OllamaClient):
+            if not client.ping():
+                print(f"topics: can't reach Ollama at {client.host} "
+                      "(start it with 'ollama serve')", file=sys.stderr)
+                return 1
+            client.ensure_model()
+        cache = args.llm_cache or str(
+            Path(args.out) / "_llm_topic_cache.json")
+        Path(cache).parent.mkdir(parents=True, exist_ok=True)
+        metas = label_topics(
+            client, {t["topic_id"]: t["quotes"] for t in topics},
+            cache_path=cache)
+        llm_aspects = {}
+        for t in topics:
+            meta = metas.get(t["topic_id"])
+            if not meta:
+                continue
+            t["label"] = meta["topic_label"]
+            t["aspect"] = meta["aspect"].lower()
+            t["rationale"] = meta.get("rationale", "")
+            llm_aspects[t["topic_id"]] = t["aspect"]
+        labels = {**labels, **{t["topic_id"]: t["label"] for t in topics}}
+
+    metrics = aspect_metrics(topic_ids, stars, labels, aspects=llm_aspects)
 
     if args.bench:
         report = benchmark_generator(
@@ -712,6 +748,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of writing cards")
     tp.add_argument("--sample-bench", type=int, default=8,
                     help="topics to time with --bench")
+    tp.add_argument("--llm", default=None,
+                    help="LLM naming backend: dry | ollama[:url] | "
+                         "openai[:url] (topics/llm_clients.py; TF-IDF "
+                         "naming when omitted)")
+    tp.add_argument("--llm-model", default=None,
+                    help="model name for --llm (default: OLLAMA_MODEL / "
+                         "LLM_MODEL env)")
+    tp.add_argument("--llm-cache", default=None,
+                    help="resume cache path (default: OUT/"
+                         "_llm_topic_cache.json)")
     tp.set_defaults(fn=cmd_topics)
     return ap
 

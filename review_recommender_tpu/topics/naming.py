@@ -170,9 +170,12 @@ def aspect_metrics(
     topic_ids: Sequence[int],
     stars: Sequence[float],
     labels: Dict[int, str],
+    aspects: Optional[Dict[int, str]] = None,
 ) -> List[dict]:
     """Per-aspect review counts, mean stars and 'lost_rating' impact proxy
-    (reviews x (5 - avg_stars)), sorted by impact."""
+    (reviews x (5 - avg_stars)), sorted by impact. `aspects` optionally
+    overrides the rule-based label->aspect mapping per topic (e.g. LLM
+    classifications from topics.llm_clients)."""
     tids = np.asarray(topic_ids)
     st = np.asarray(stars, np.float64)
     by_aspect: Dict[str, list] = {}
@@ -180,7 +183,8 @@ def aspect_metrics(
         mask = tids == t
         if not mask.any():
             continue
-        by_aspect.setdefault(map_label_to_aspect(label), []).append(mask)
+        aspect = (aspects or {}).get(t) or map_label_to_aspect(label)
+        by_aspect.setdefault(aspect, []).append(mask)
     out = []
     for aspect, masks in by_aspect.items():
         m = np.logical_or.reduce(masks)
