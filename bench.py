@@ -381,6 +381,10 @@ def _request_response_latency(engine, qvecs, qstrings, w, pool, k, n_q):
 
 def _batched_qps(engine, qvecs, qstrings, w, pool, k, n_q, batch,
                  reps: int = 2) -> float:
+    """Steady-state batched throughput. reps matters on the tunneled chip:
+    the ONE trailing blocking sync costs ~28 ms, so measuring only ~74 ms
+    of work (reps=2 at batch 128) under-reports QPS by ~30%; the headline
+    uses BENCH_REPS (default 10) to amortize it below 10%."""
     t0 = time.perf_counter()
     outs = []
     for _ in range(reps):
@@ -424,29 +428,13 @@ def _make_e2e_engine(pidx, dim, seed=0):
 
 
 def _ensure_native():
-    """Best-effort build of librrt_native.so — without it the featurizer
-    silently uses the (7x slower cold) Python fallback and the bench
-    under-reports host throughput."""
-    import subprocess
+    """Build/refresh librrt_native.so — without it the featurizer silently
+    uses the (7x slower cold) Python fallback and the bench under-reports
+    host throughput; a STALE .so would bench code from an older commit."""
+    from review_recommender_tpu.native import ensure_native_built
 
-    from review_recommender_tpu.native import native_available
-
-    if native_available():
-        return
-    try:
-        subprocess.run(
-            ["make", "-C", "review_recommender_tpu/native"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, timeout=120, check=False,
-        )
-    except Exception:
-        pass
-    # reset the memoized handle so the fresh .so is picked up
-    from review_recommender_tpu import native as _n
-
-    _n._lib.cache_clear()
-    print(f"native featurizer available: {native_available()}",
-          file=sys.stderr, flush=True)
+    ok = ensure_native_built()
+    print(f"native featurizer available: {ok}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -515,15 +503,17 @@ def main():
     emit({"tail_metric": "warmup done",
           "t_s": round(time.monotonic() - _T0, 1)})
 
+    head_reps = int(os.getenv("BENCH_REPS", "10"))
     batched_qps = _retry(lambda: _batched_qps(
-        engine, qvecs, qstrings, w, pool, k, n_q, batch))
+        engine, qvecs, qstrings, w, pool, k, n_q, batch, reps=head_reps))
     _H["batched_qps"] = batched_qps
     head_qps, head_batch = batched_qps, batch
     if big_batch > batch:
         _async_read([engine.query_fused_batched(
             qvecs[:big_batch], qstrings[:big_batch], w, pool, k)])
         big_qps = _retry(lambda: _batched_qps(
-            engine, qvecs, qstrings, w, pool, k, n_q, big_batch))
+            engine, qvecs, qstrings, w, pool, k, n_q, big_batch,
+            reps=head_reps))
         emit({"tail_metric": (f"hybrid bf16 {engine.dense_pool}-pool "
                               f"batch={big_batch}"),
               "qps": round(big_qps, 2)})
@@ -973,6 +963,73 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
               "qps": round(int8_qps, 2),
               "single_stream_qps": round(single8, 2)})
 
+    @_guard("1M-doc scale", os.getenv("BENCH_BIGN", "1") == "1", est_s=240)
+    def _():
+        # Production-scale evidence: the full hybrid path at N=1M docs on
+        # ONE chip, in the recommended serving config (int8 corpus +
+        # striped scan pool). The HBM cost model (index/schema.py:
+        # footprint_total) is printed alongside so the capacity-ownership
+        # story (VERDICT r2 item 5) is driver-visible at real scale.
+        from review_recommender_tpu.index.schema import footprint_total
+
+        n_big = int(os.getenv("BENCH_BIGN_DOCS", "1000000"))
+        if n_big <= n_docs:
+            return
+        pidx_big = _synth_index(n_big, dim, vocab_size, terms_per_doc=64,
+                                seed=7)
+        bundle_big = IndexBundle(products=pidx_big)
+        _, hbm_int8 = footprint_total(bundle_big, quantize_int8=True,
+                                      striped=True)
+        eng_big = SearchEngine(bundle_big, emb_dtype="int8",
+                               gate_mode="device", dense_pool="striped")
+        bb = min(big_batch, n_q)
+        _async_read([eng_big.query_fused_batched(
+            qvecs[:bb], qstrings[:bb], w, pool, k)])
+        big_qps = _batched_qps(eng_big, qvecs, qstrings, w, pool, k,
+                               n_q, bb, reps=1)
+        emit({
+            "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
+                            f"N={n_big} (one chip)"),
+            "qps": round(big_qps, 2),
+            "hbm_bytes": int(hbm_int8),
+            "hbm_gib": round(hbm_int8 / 2**30, 2),
+        })
+        del eng_big, pidx_big, bundle_big
+
+    @_guard("5M-doc capacity probe",
+            os.getenv("BENCH_SCALE", "1") == "1", est_s=330)
+    def _():
+        # The examples/scale_probe.py capacity claim (1,636 q/s at
+        # 6.37 GiB HBM, N=5M), made driver-visible (VERDICT r3 item 6).
+        # Corpus = the 200k bench index row-tiled 25x: seconds to build
+        # instead of the ~12 min a fresh 5M Zipf draw costs on one core;
+        # throughput + HBM footprint are unaffected by duplicate rows.
+        from review_recommender_tpu.index.schema import footprint_total
+
+        n_scale = int(os.getenv("BENCH_SCALE_DOCS", "5000000"))
+        times = max(n_scale // max(pidx.n_docs, 1), 2)
+        pidx_s = _tiled_index(pidx, times)
+        bundle_s = IndexBundle(products=pidx_s)
+        _, hbm = footprint_total(bundle_s, quantize_int8=True, striped=True)
+        eng_s = SearchEngine(bundle_s, emb_dtype="int8",
+                             gate_mode="device", dense_pool="striped")
+        bb = min(big_batch, n_q)
+        _async_read([eng_s.query_fused_batched(
+            qvecs[:bb], qstrings[:bb], w, pool, k)])
+        t0 = time.perf_counter()
+        _async_read([eng_s.query_fused_batched(
+            qvecs[lo:lo + bb], qstrings[lo:lo + bb], w, pool, k)
+            for lo in range(0, n_q, bb)])
+        qps = n_q / (time.perf_counter() - t0)
+        emit({
+            "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
+                            f"N={pidx_s.n_docs} capacity probe (one chip)"),
+            "qps": round(qps, 2),
+            "hbm_bytes": int(hbm),
+            "hbm_gib": round(hbm / 2**30, 2),
+        })
+        del eng_s, pidx_s, bundle_s
+
     @_guard("on-device e2e", os.getenv("BENCH_E2E", "1") == "1", est_s=180)
     def _():
         e2e_engine = _make_e2e_engine(pidx, dim)
@@ -1109,8 +1166,74 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             "step_ms": round(dt / reps_t * 1e3, 2),
         })
 
+    @_guard("fused attention",
+            os.getenv("BENCH_ATTN", "1") == "1" and on_tpu, est_s=120)
+    def _():
+        import jax.numpy as jnp
+
+        # Fused Pallas MHA (ops/pallas/attention_kernel.py) vs the XLA
+        # einsum attention at the cross-encoder's rerank shape
+        # (B=64 pairs, S=512, 12 heads of 32): the (S, S) logits stay
+        # in VMEM instead of round-tripping HBM. Timed as a chained
+        # fori_loop INSIDE one program so the tunnel's ~2.5 ms
+        # dispatch floor can't mask the program-level difference.
+        from review_recommender_tpu.ops.pallas.attention_kernel import (
+            mha_pallas,
+            mha_xla,
+        )
+
+        ab, as_, heads, hd = 64, 512, 12, 384
+        r2 = np.random.default_rng(3)
+        mk = lambda: jnp.asarray(
+            r2.standard_normal((ab, as_, hd)), jnp.bfloat16)
+        q0, kk, vv = mk(), mk(), mk()
+        lens = r2.integers(as_ // 2, as_ + 1, size=ab)
+        bias = jnp.asarray(np.where(
+            np.arange(as_)[None, :] < lens[:, None], 0.0, -1e30),
+            jnp.float32)
+
+        res = {}
+        for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
+            @jax.jit
+            def run(q, kq, vq, bq, n, f=f):
+                body = lambda i, qq: qq + f(
+                    qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
+                return jax.lax.fori_loop(0, n, body, q)
+
+            np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
+
+            def timed(n):
+                # host readback, not block_until_ready: the tunnel's
+                # block can return before the computation ran (observed
+                # for scalar outputs); fetching real values is the only
+                # reliable fence
+                t0 = time.perf_counter()
+                np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
+                return time.perf_counter() - t0
+
+            timed(5)
+            res[name] = (timed(25) - timed(5)) / 20 * 1e3
+        # numerical parity of the two paths on this shape
+        d = np.abs(
+            np.asarray(mha_pallas(q0, kk, vv, bias, heads),
+                       dtype=np.float32)
+            - np.asarray(mha_xla(q0, kk, vv, bias, heads),
+                         dtype=np.float32))
+        emit({
+            "tail_metric": ("fused MHA kernel, cross-encoder rerank "
+                            f"shape B={ab} S={as_} (in-program chain)"),
+            "pallas_ms": round(res["pallas"], 3),
+            "xla_ms": round(res["xla"], 3),
+            "speedup": round(res["xla"] / res["pallas"], 2),
+            "max_abs_diff": round(float(d.max()), 4),
+            "pallas_roofline": _roofline(
+                res["pallas"], flops=4 * ab * as_ * as_ * hd,
+                bytes_moved=4 * ab * as_ * hd * 2),
+        })
+        del q0, kk, vv
+
     @_guard("fused stage-A kernel",
-            os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu, est_s=120)
+            os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu, est_s=380)
     def _():
         import jax.numpy as jnp
 
@@ -1187,139 +1310,6 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             "pool_recall_vs_exact": round(float(rec), 4),
         })
         del emb_k, valid_k, terms_k, bm25_k
-
-    @_guard("fused attention",
-            os.getenv("BENCH_ATTN", "1") == "1" and on_tpu, est_s=120)
-    def _():
-        import jax.numpy as jnp
-
-        # Fused Pallas MHA (ops/pallas/attention_kernel.py) vs the XLA
-        # einsum attention at the cross-encoder's rerank shape
-        # (B=64 pairs, S=512, 12 heads of 32): the (S, S) logits stay
-        # in VMEM instead of round-tripping HBM. Timed as a chained
-        # fori_loop INSIDE one program so the tunnel's ~2.5 ms
-        # dispatch floor can't mask the program-level difference.
-        from review_recommender_tpu.ops.pallas.attention_kernel import (
-            mha_pallas,
-            mha_xla,
-        )
-
-        ab, as_, heads, hd = 64, 512, 12, 384
-        r2 = np.random.default_rng(3)
-        mk = lambda: jnp.asarray(
-            r2.standard_normal((ab, as_, hd)), jnp.bfloat16)
-        q0, kk, vv = mk(), mk(), mk()
-        lens = r2.integers(as_ // 2, as_ + 1, size=ab)
-        bias = jnp.asarray(np.where(
-            np.arange(as_)[None, :] < lens[:, None], 0.0, -1e30),
-            jnp.float32)
-
-        res = {}
-        for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
-            @jax.jit
-            def run(q, kq, vq, bq, n, f=f):
-                body = lambda i, qq: qq + f(
-                    qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
-                return jax.lax.fori_loop(0, n, body, q)
-
-            np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
-
-            def timed(n):
-                # host readback, not block_until_ready: the tunnel's
-                # block can return before the computation ran (observed
-                # for scalar outputs); fetching real values is the only
-                # reliable fence
-                t0 = time.perf_counter()
-                np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
-                return time.perf_counter() - t0
-
-            timed(5)
-            res[name] = (timed(25) - timed(5)) / 20 * 1e3
-        # numerical parity of the two paths on this shape
-        d = np.abs(
-            np.asarray(mha_pallas(q0, kk, vv, bias, heads),
-                       dtype=np.float32)
-            - np.asarray(mha_xla(q0, kk, vv, bias, heads),
-                         dtype=np.float32))
-        emit({
-            "tail_metric": ("fused MHA kernel, cross-encoder rerank "
-                            f"shape B={ab} S={as_} (in-program chain)"),
-            "pallas_ms": round(res["pallas"], 3),
-            "xla_ms": round(res["xla"], 3),
-            "speedup": round(res["xla"] / res["pallas"], 2),
-            "max_abs_diff": round(float(d.max()), 4),
-            "pallas_roofline": _roofline(
-                res["pallas"], flops=4 * ab * as_ * as_ * hd,
-                bytes_moved=4 * ab * as_ * hd * 2),
-        })
-        del q0, kk, vv
-
-    @_guard("1M-doc scale", os.getenv("BENCH_BIGN", "1") == "1", est_s=240)
-    def _():
-        # Production-scale evidence: the full hybrid path at N=1M docs on
-        # ONE chip, in the recommended serving config (int8 corpus +
-        # striped scan pool). The HBM cost model (index/schema.py:
-        # footprint_total) is printed alongside so the capacity-ownership
-        # story (VERDICT r2 item 5) is driver-visible at real scale.
-        from review_recommender_tpu.index.schema import footprint_total
-
-        n_big = int(os.getenv("BENCH_BIGN_DOCS", "1000000"))
-        if n_big <= n_docs:
-            return
-        pidx_big = _synth_index(n_big, dim, vocab_size, terms_per_doc=64,
-                                seed=7)
-        bundle_big = IndexBundle(products=pidx_big)
-        _, hbm_int8 = footprint_total(bundle_big, quantize_int8=True,
-                                      striped=True)
-        eng_big = SearchEngine(bundle_big, emb_dtype="int8",
-                               gate_mode="device", dense_pool="striped")
-        bb = min(big_batch, n_q)
-        _async_read([eng_big.query_fused_batched(
-            qvecs[:bb], qstrings[:bb], w, pool, k)])
-        big_qps = _batched_qps(eng_big, qvecs, qstrings, w, pool, k,
-                               n_q, bb, reps=1)
-        emit({
-            "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
-                            f"N={n_big} (one chip)"),
-            "qps": round(big_qps, 2),
-            "hbm_bytes": int(hbm_int8),
-            "hbm_gib": round(hbm_int8 / 2**30, 2),
-        })
-        del eng_big, pidx_big, bundle_big
-
-    @_guard("5M-doc capacity probe",
-            os.getenv("BENCH_SCALE", "1") == "1", est_s=330)
-    def _():
-        # The examples/scale_probe.py capacity claim (1,636 q/s at
-        # 6.37 GiB HBM, N=5M), made driver-visible (VERDICT r3 item 6).
-        # Corpus = the 200k bench index row-tiled 25x: seconds to build
-        # instead of the ~12 min a fresh 5M Zipf draw costs on one core;
-        # throughput + HBM footprint are unaffected by duplicate rows.
-        from review_recommender_tpu.index.schema import footprint_total
-
-        n_scale = int(os.getenv("BENCH_SCALE_DOCS", "5000000"))
-        times = max(n_scale // max(pidx.n_docs, 1), 2)
-        pidx_s = _tiled_index(pidx, times)
-        bundle_s = IndexBundle(products=pidx_s)
-        _, hbm = footprint_total(bundle_s, quantize_int8=True, striped=True)
-        eng_s = SearchEngine(bundle_s, emb_dtype="int8",
-                             gate_mode="device", dense_pool="striped")
-        bb = min(big_batch, n_q)
-        _async_read([eng_s.query_fused_batched(
-            qvecs[:bb], qstrings[:bb], w, pool, k)])
-        t0 = time.perf_counter()
-        _async_read([eng_s.query_fused_batched(
-            qvecs[lo:lo + bb], qstrings[lo:lo + bb], w, pool, k)
-            for lo in range(0, n_q, bb)])
-        qps = n_q / (time.perf_counter() - t0)
-        emit({
-            "tail_metric": (f"hybrid int8 striped-pool batch={bb}, "
-                            f"N={pidx_s.n_docs} capacity probe (one chip)"),
-            "qps": round(qps, 2),
-            "hbm_bytes": int(hbm),
-            "hbm_gib": round(hbm / 2**30, 2),
-        })
-        del eng_s, pidx_s, bundle_s
 
 
 if __name__ == "__main__":

@@ -393,7 +393,10 @@ def main(argv=None) -> int:
         df, _s, _d = engine.run_search(q, **cfg)
         return df
 
-    results = run_performance_benchmark(search, queries, warmup=True)
+    from review_recommender_tpu.evals.benchmark import measure_rpc_floor
+
+    results = run_performance_benchmark(search, queries, warmup=True,
+                                        rpc_floor_ms=measure_rpc_floor())
     save_benchmark_results(results, args.out)
     print(format_results_table(results))
     return 0

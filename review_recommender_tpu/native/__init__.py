@@ -13,10 +13,59 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import logging
 from pathlib import Path
 from typing import List, Optional
 
+logger = logging.getLogger(__name__)
+
 _LIB_PATH = Path(__file__).parent / "librrt_native.so"
+
+
+def _stale_sources() -> List[str]:
+    """Source files newer than the shared library (empty when fresh or the
+    library is absent). A committed .so that predates its .cc silently
+    downgrades both perf and test coverage — callers must rebuild or warn."""
+    if not _LIB_PATH.exists():
+        return []
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return sorted(
+        p.name for p in _LIB_PATH.parent.glob("*.cc")
+        if p.stat().st_mtime > so_mtime
+    )
+
+
+def ensure_native_built(timeout_s: float = 180.0) -> bool:
+    """Build (or rebuild) librrt_native.so from source when a compiler is
+    available and the library is missing or older than any .cc. Returns
+    native_available() afterwards. When the library is stale and no build
+    is possible, logs a LOUD warning instead of silently serving old code.
+    """
+    import shutil
+    import subprocess
+
+    stale = _stale_sources()
+    if _LIB_PATH.exists() and not stale:
+        return native_available()
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        if stale:
+            logger.warning(
+                "librrt_native.so is OLDER than source files %s and no C++ "
+                "compiler is available to rebuild — the native runtime may "
+                "not match the checked-in sources", stale)
+        return native_available()
+    try:
+        proc = subprocess.run(
+            ["make", "-C", str(_LIB_PATH.parent)],
+            capture_output=True, timeout=timeout_s, check=False, text=True,
+        )
+        if proc.returncode != 0:
+            logger.warning("native build failed (rc=%d): %s",
+                           proc.returncode, proc.stderr[-400:])
+    except Exception as e:  # noqa: BLE001 — build is best-effort
+        logger.warning("native build failed: %s", e)
+    _lib.cache_clear()
+    return native_available()
 
 # native HTTP server callback signatures (server.cc): the batch callback
 # receives a window of raw POST /search bodies; the fallback callback one
@@ -36,6 +85,12 @@ RRT_FALLBACK_CB = ctypes.CFUNCTYPE(
 def _lib() -> Optional[ctypes.CDLL]:
     if not _LIB_PATH.exists():
         return None
+    stale = _stale_sources()
+    if stale:
+        logger.warning(
+            "loading librrt_native.so that is OLDER than %s — run "
+            "`make -C review_recommender_tpu/native` (or "
+            "native.ensure_native_built()) to rebuild", stale)
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

@@ -189,8 +189,11 @@ def _row_fragment(engine, ridx: int) -> str:
     return frag
 
 
-_SIG_FMT = (', "_dense": %r, "_bm25": %r, "_rerank": %r, "_prior": %r'
-            ', "_best": %r, "_trust": %r, "_gate": %r, "_final": %r}')
+# built from SIGNAL_ORDER so this byte path can never desync from the dict
+# path's assemble_result_rows columns (both front ends must stay
+# byte-identical; tests/test_native_server.py asserts it)
+_SIG_FMT = ("".join(f', "_{name}": %r' for name in SIGNAL_ORDER)
+            + ', "_final": %r}')
 
 
 def format_search_result_bytes(engine, req, rows, scores, bd, batch_n,
@@ -208,12 +211,20 @@ def format_search_result_bytes(engine, req, rows, scores, bd, batch_n,
     for rank in range(len(rows)):
         s = float(scores[rank])
         if not _math.isfinite(s):
-            break  # top-k pads the tail with -inf; match assemble_result_rows
+            # top-k pads the tail with -inf; match assemble_result_rows.
+            # A non-finite score BEFORE the pad tail would mean a numerics
+            # bug upstream — surface it rather than truncating silently.
+            if rank < len(rows) - 1 and _math.isfinite(float(
+                    scores[rank + 1])):
+                logger.warning(
+                    "non-finite score at rank %d of %d (finite rows follow) "
+                    "— response truncated; query=%r", rank, len(rows),
+                    req.query)
+            break
         sig = bd[rank]
         parts.append(
             "{" + _row_fragment(engine, int(rows[rank])) + _SIG_FMT % (
-                float(sig[0]), float(sig[1]), float(sig[2]), float(sig[3]),
-                float(sig[4]), float(sig[5]), float(sig[6]), s,
+                tuple(float(sig[i]) for i in range(len(SIGNAL_ORDER))) + (s,)
             )
         )
     snips = {}

@@ -462,9 +462,40 @@ def cmd_topics(args) -> int:
         print("topics: no valid reviews in index", file=sys.stderr)
         return 1
 
-    k = min(int(args.k), len(texts))
-    topic_ids, centers = spherical_kmeans(emb, k=k, iters=args.iters,
-                                          seed=args.seed)
+    if getattr(args, "cluster", "kmeans") == "density":
+        # HDBSCAN-semantics lane (topics/density.py): data-derived cluster
+        # count, noise label -1 (dropped from the rollup), min-cluster-size
+        # dissolution. Centers = normalized cluster means, so quote picking
+        # works identically to the k-means lane.
+        from review_recommender_tpu.topics.density import density_cluster
+
+        topic_ids, dinfo = density_cluster(
+            emb, min_samples=args.min_samples,
+            min_cluster_size=args.min_cluster_size)
+        k = int(dinfo["n_clusters"])
+        print(f"density: {k} clusters, {dinfo['noise']} noise reviews "
+              f"(eps={dinfo['eps']:.4f})", file=sys.stderr)
+        if k == 0:
+            print("topics: density clustering found no clusters "
+                  "(corpus too sparse for min_cluster_size="
+                  f"{args.min_cluster_size})", file=sys.stderr)
+            return 1
+        centers = np.zeros((k, emb.shape[1]), np.float32)
+        for tid in range(k):
+            c = emb[topic_ids == tid].mean(axis=0)
+            centers[tid] = c / max(float(np.linalg.norm(c)), 1e-12)
+        # noise reviews (-1) leave the pipeline here — naming, metrics and
+        # cards all operate on clustered reviews only (the reference writes
+        # label -1 to parquet and every downstream 06/07 script drops it)
+        clustered = topic_ids >= 0
+        emb = emb[clustered]
+        stars = stars[clustered]
+        texts = [texts[i] for i in np.flatnonzero(clustered)]
+        topic_ids = topic_ids[clustered]
+    else:
+        k = min(int(args.k), len(texts))
+        topic_ids, centers = spherical_kmeans(emb, k=k, iters=args.iters,
+                                              seed=args.seed)
 
     terms = tfidf_topic_terms(texts, topic_ids)
     labels = name_topics(terms)
@@ -610,7 +641,8 @@ def cmd_eval(args) -> int:
 
     results = run_performance_benchmark(search, queries,
                                         method_configs=method_configs,
-                                        warmup=not args.no_warmup)
+                                        warmup=not args.no_warmup,
+                                        rpc_floor_ms=measure_rpc_floor())
     print(format_results_table(results))
     if args.out:
         save_benchmark_results(results, args.out)
@@ -740,6 +772,17 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--k", type=int, default=24, help="number of clusters")
     tp.add_argument("--iters", type=int, default=25)
     tp.add_argument("--seed", type=int, default=0)
+    tp.add_argument("--cluster", choices=("kmeans", "density"),
+                    default="kmeans",
+                    help="kmeans: fixed-K spherical k-means on MXU; "
+                         "density: HDBSCAN-semantics kNN-graph clustering "
+                         "(data-derived count, noise=-1; topics/density.py)")
+    tp.add_argument("--min-samples", type=int, default=10,
+                    help="density: core-point neighbor count "
+                         "(05_clustering.py MIN_SAMPLES)")
+    tp.add_argument("--min-cluster-size", type=int, default=40,
+                    help="density: dissolve smaller clusters into noise "
+                         "(05_clustering.py MIN_CLUSTER_SIZE)")
     tp.add_argument("--min-reviews", type=int, default=5,
                     help="drop topics smaller than this")
     tp.add_argument("--n-quotes", type=int, default=3)

@@ -1,0 +1,234 @@
+"""Density-based review clustering on TPU: kNN graph + host union-find.
+
+The reference's archived pipeline gets density semantics from
+UMAP(50d) + HDBSCAN on CPU (nlp/_archive/05_clustering.py:27-56):
+a data-derived cluster count, a noise label (-1), min_cluster_size=40 /
+min_samples=10, "eom" cluster selection. Those semantics — NOT the exact
+HDBSCAN algorithm — are what the topic pipeline consumes, and they are
+what this module reproduces with a TPU-first split:
+
+  device (MXU):  the O(N^2 D) part — an exact cosine kNN graph, computed
+                 as blockwise (B, D) x (D, C) matmuls with a running
+                 top-k merge lax.scan'd over column chunks. No UMAP:
+                 the reduction exists in the reference to make CPU
+                 neighbor search tractable; on the MXU the exact graph
+                 at 300k x 384 is a few seconds of matmul.
+  host (cheap):  the O(N k) part — DBSCAN-style core/border/noise rules
+                 on the kNN lists and a union-find over mutual-core
+                 edges. Linear in edges; pandas-scale trivial.
+
+Semantics (mirroring hdbscan.HDBSCAN(min_cluster_size, min_samples)):
+  - core distance  = cosine distance to the min_samples-th neighbor;
+  - eps            = a percentile of the core-distance distribution when
+                     not given (data-derived, like HDBSCAN's avoidance of
+                     a global eps — the knob is a quantile, not a length
+                     scale in embedding units);
+  - edges          = mutual kNN pairs of two CORE points within eps;
+  - border points  = non-core points adopted by a core neighbor within
+                     eps; everything else gets the noise label -1;
+  - clusters smaller than min_cluster_size dissolve into noise, so the
+    cluster count is derived from the data, never passed in.
+
+`rrt topics --cluster density` selects this path; spherical k-means
+(topics/cluster.py) remains the default for fixed-K topic rollups.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn_block(emb_chunks, block, base, *, k, chunk):
+    """Exact top-k cosine neighbors of `block` (B, D) against the full
+    corpus `emb_chunks` (n_chunks, chunk, D), merged chunk-by-chunk with
+    lax.scan so the (B, chunk) sims tile never hits HBM at full width.
+
+    `base` is the global row offset of each chunk's first column; padding
+    columns (zero vectors) score sim 0 and are pushed to -inf by callers
+    masking afterwards. Returns (vals (B, k), idx (B, k)) sorted desc.
+    """
+    b = block.shape[0]
+    init = (jnp.full((b, k), -jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+
+    def step(carry, xs):
+        vals, idx = carry
+        chunk_emb, off = xs
+        sims = jnp.dot(block, chunk_emb.T,
+                       preferred_element_type=jnp.float32)  # (B, chunk)
+        cols = off + jnp.arange(chunk, dtype=jnp.int32)
+        merged_v = jnp.concatenate([vals, sims], axis=1)
+        merged_i = jnp.concatenate(
+            [idx, jnp.broadcast_to(cols, (b, chunk))], axis=1)
+        top_v, pos = jax.lax.top_k(merged_v, k)
+        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (top_v, top_i), None
+
+    (vals, idx), _ = jax.lax.scan(step, init, (emb_chunks, base))
+    return vals, idx
+
+
+def knn_graph(
+    embeddings: np.ndarray,
+    k: int = 16,
+    batch_rows: int = 1024,
+    col_chunk: int = 32768,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact cosine kNN graph of L2-normalized embeddings on device.
+
+    Returns (sims (N, k), idx (N, k)), each row's neighbors sorted by
+    descending similarity and INCLUDING the point itself (callers strip
+    the self column — keeping it makes the device program rank-agnostic).
+    """
+    emb = np.asarray(embeddings, np.float32)
+    n, d = emb.shape
+    if n == 0:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+
+    k_eff = min(k, n)
+    pad_cols = (-n) % col_chunk
+    emb_cols = np.pad(emb, [(0, pad_cols), (0, 0)])
+    n_chunks = (n + pad_cols) // col_chunk
+    emb_chunks = jnp.asarray(
+        emb_cols.reshape(n_chunks, col_chunk, d))
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * col_chunk
+
+    sims_out = np.empty((n, k_eff), np.float32)
+    idx_out = np.empty((n, k_eff), np.int32)
+    for lo in range(0, n, batch_rows):
+        block = emb[lo:lo + batch_rows]
+        bpad = (-len(block)) % batch_rows
+        if bpad:
+            block = np.pad(block, [(0, bpad), (0, 0)])
+        vals, idx = _knn_block(emb_chunks, jnp.asarray(block), base,
+                               k=k_eff, chunk=col_chunk)
+        # np.array (not asarray): jax buffers view as read-only host arrays
+        vals, idx = np.array(vals), np.array(idx)
+        # padding COLUMNS are zero vectors: sim exactly 0.0 against unit
+        # rows; mask any that sneaked into the top-k of sparse corpora
+        bad = idx >= n
+        vals[bad] = -np.inf
+        take = len(block) - bpad
+        sims_out[lo:lo + take] = vals[:take]
+        idx_out[lo:lo + take] = idx[:take]
+    return sims_out, idx_out
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def density_cluster(
+    embeddings: np.ndarray,
+    min_samples: int = 10,
+    min_cluster_size: int = 40,
+    knn: int = 16,
+    eps: Optional[float] = None,
+    eps_quantile: float = 0.60,
+    batch_rows: int = 1024,
+    col_chunk: int = 32768,
+) -> Tuple[np.ndarray, dict]:
+    """Density clustering with HDBSCAN's output semantics.
+
+    Returns (labels (N,) int32 with -1 = noise and clusters renumbered
+    0..n_clusters-1 by descending size, info dict with eps / counts).
+    Cluster count comes from the data; `min_cluster_size` dissolves
+    runt components into noise (05_clustering.py:44-49 tunables).
+    """
+    emb = np.asarray(embeddings, np.float32)
+    n = len(emb)
+    if n == 0:
+        return np.zeros(0, np.int32), {
+            "n_clusters": 0, "noise": 0, "eps": 0.0}
+
+    k_graph = min(max(knn, min_samples) + 1, n)  # +1: self column
+    sims, idx = knn_graph(emb, k=k_graph,
+                          batch_rows=batch_rows, col_chunk=col_chunk)
+
+    # strip the self column (always rank 0 at sim ~1.0 for unit vectors)
+    self_col = idx == np.arange(n)[:, None]
+    # rare exact duplicates can displace self from rank 0; keep the first
+    # self-looking column only
+    first_self = np.cumsum(self_col, axis=1) == 1
+    keep = ~(self_col & first_self)
+    sims = sims[keep].reshape(n, k_graph - 1)
+    idx = idx[keep].reshape(n, k_graph - 1)
+
+    ms = min(min_samples, sims.shape[1])
+    core_sim = sims[:, ms - 1]  # sim to the min_samples-th neighbor
+    core_dist = 1.0 - core_sim
+
+    if eps is None:
+        # data-derived scale: a quantile of the core-distance distribution.
+        # HDBSCAN never picks a global eps; a quantile knob (default 0.60:
+        # "the densest 60% of points are core") is the closest single-scan
+        # approximation and keeps the knob unitless across corpora.
+        eps = float(np.quantile(core_dist[np.isfinite(core_dist)],
+                                eps_quantile))
+    is_core = core_dist <= eps
+
+    # mutual-core edges within eps: a -> b with b in kNN(a), both core,
+    # sim >= 1 - eps. Mutuality is implied for exact kNN + shared eps when
+    # both ends are core (sim is symmetric); no reverse lookup needed.
+    src = np.repeat(np.arange(n), idx.shape[1])
+    dst = idx.ravel()
+    s = sims.ravel()
+    m = (is_core[src] & is_core[dst] & (s >= 1.0 - eps) & (dst >= 0))
+    uf = _UnionFind(n)
+    for a, b in zip(src[m], dst[m]):
+        uf.union(int(a), int(b))
+
+    labels = np.full(n, -1, np.int32)
+    roots = {}
+    for i in np.flatnonzero(is_core):
+        r = uf.find(int(i))
+        labels[i] = roots.setdefault(r, len(roots))
+
+    # border adoption: non-core points join their best core neighbor
+    # within eps (classic DBSCAN border rule)
+    for i in np.flatnonzero(~is_core):
+        row_idx, row_sim = idx[i], sims[i]
+        ok = is_core[row_idx] & (row_sim >= 1.0 - eps)
+        if ok.any():
+            labels[i] = labels[row_idx[np.argmax(np.where(
+                ok, row_sim, -np.inf))]]
+
+    # dissolve runts into noise, renumber by size desc
+    lab, counts = np.unique(labels[labels >= 0], return_counts=True)
+    keep_ids = lab[counts >= min_cluster_size]
+    order = keep_ids[np.argsort(-counts[counts >= min_cluster_size],
+                                kind="stable")]
+    remap = np.full(labels.max() + 2 if len(lab) else 1, -1, np.int32)
+    for newid, old in enumerate(order):
+        remap[old] = newid
+    labels = np.where(labels >= 0, remap[np.maximum(labels, 0)], -1)
+
+    return labels.astype(np.int32), {
+        "n_clusters": int(len(order)),
+        "noise": int((labels == -1).sum()),
+        "eps": float(eps),
+        "core_points": int(is_core.sum()),
+    }

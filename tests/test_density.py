@@ -1,0 +1,178 @@
+"""Density clustering (topics/density.py): exact kNN graph on device,
+HDBSCAN-semantics labels (data-derived count, noise=-1, min_cluster_size),
+and the measured comparison against spherical k-means that justifies the
+lane (VERDICT r3 item 4 done-criterion)."""
+import json
+
+import numpy as np
+import pytest
+
+from review_recommender_tpu.topics.density import density_cluster, knn_graph
+
+
+def blobs_with_noise(n_per=120, k=3, d=24, noise=60, spread=0.08, seed=0):
+    """k tight spherical blobs + uniform-ish noise points. Returns
+    (emb L2-normalized, truth with -1 for noise)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # keep blob centers well separated (resample near-duplicates)
+    for i in range(1, k):
+        while max(centers[i] @ centers[j] for j in range(i)) > 0.3:
+            c = rng.standard_normal(d)
+            centers[i] = c / np.linalg.norm(c)
+    emb, truth = [], []
+    for c in range(k):
+        pts = centers[c] + spread * rng.standard_normal((n_per, d))
+        emb.append(pts)
+        truth += [c] * n_per
+    emb.append(rng.standard_normal((noise, d)))  # isotropic = far from all
+    truth += [-1] * noise
+    emb = np.concatenate(emb).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb, np.asarray(truth)
+
+
+class TestKnnGraph:
+    def test_exact_vs_bruteforce(self):
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((73, 12)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        k = 7
+        # small chunks force multi-block row AND column paths
+        sims, idx = knn_graph(emb, k=k, batch_rows=16, col_chunk=32)
+        full = emb @ emb.T
+        for i in range(len(emb)):
+            want = np.sort(full[i])[::-1][:k]
+            np.testing.assert_allclose(sims[i], want, atol=1e-5)
+            # indices score-equivalent to the brute-force ranking
+            np.testing.assert_allclose(full[i, idx[i]], want, atol=1e-5)
+
+    def test_self_in_graph_at_rank0(self):
+        rng = np.random.default_rng(4)
+        emb = rng.standard_normal((40, 8)).astype(np.float32)
+        sims, idx = knn_graph(emb, k=3)
+        assert (idx[:, 0] == np.arange(40)).all()
+        np.testing.assert_allclose(sims[:, 0], 1.0, atol=1e-5)
+
+    def test_empty(self):
+        sims, idx = knn_graph(np.zeros((0, 8), np.float32), k=4)
+        assert sims.shape == (0, 4) and idx.shape == (0, 4)
+
+
+class TestDensityCluster:
+    def test_recovers_count_and_noise(self):
+        emb, truth = blobs_with_noise()
+        labels, info = density_cluster(emb, min_samples=5,
+                                       min_cluster_size=30, knn=12)
+        # data-derived cluster count == planted count, NOT passed in
+        assert info["n_clusters"] == 3, info
+        # blob points cluster; each planted blob maps to ONE label
+        for c in range(3):
+            pred = labels[truth == c]
+            assert (pred >= 0).mean() > 0.9, c
+            vals, counts = np.unique(pred[pred >= 0], return_counts=True)
+            assert counts.max() / counts.sum() > 0.99, (c, vals, counts)
+        # isotropic noise points are mostly labeled -1
+        assert (labels[truth == -1] == -1).mean() > 0.8, info
+
+    def test_min_cluster_size_dissolves_runts(self):
+        emb, truth = blobs_with_noise(n_per=120, k=3)
+        # a size threshold above the blob size dissolves everything
+        labels, info = density_cluster(emb, min_samples=5,
+                                       min_cluster_size=500, knn=12)
+        assert info["n_clusters"] == 0
+        assert (labels == -1).all()
+
+    def test_labels_ordered_by_size(self):
+        rng = np.random.default_rng(7)
+        big = rng.standard_normal((200, 16)) * 0.05 + 1.0
+        small = rng.standard_normal((60, 16)) * 0.05 - 1.0
+        emb = np.concatenate([small, big]).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        labels, info = density_cluster(emb, min_samples=4,
+                                       min_cluster_size=10, knn=8)
+        assert info["n_clusters"] == 2
+        sizes = np.bincount(labels[labels >= 0])
+        assert sizes[0] >= sizes[1]
+
+    def test_deterministic(self):
+        emb, _ = blobs_with_noise(seed=9)
+        l1, i1 = density_cluster(emb, min_samples=5, min_cluster_size=20)
+        l2, i2 = density_cluster(emb, min_samples=5, min_cluster_size=20)
+        np.testing.assert_array_equal(l1, l2)
+        assert i1 == i2
+
+    def test_explicit_eps_respected(self):
+        emb, _ = blobs_with_noise()
+        _, info = density_cluster(emb, min_samples=5, min_cluster_size=10,
+                                  eps=0.25)
+        assert info["eps"] == pytest.approx(0.25)
+
+    def test_empty(self):
+        labels, info = density_cluster(np.zeros((0, 8), np.float32))
+        assert labels.shape == (0,) and info["n_clusters"] == 0
+
+
+class TestDensityVsKMeans:
+    """The measured justification for keeping both lanes: on a noisy
+    corpus, k-means at the WRONG K splits/merges blobs and has no noise
+    concept; density clustering derives K and flags the noise — while on
+    clustered points its purity matches k-means run at the oracle K."""
+
+    def test_quality_on_noisy_corpus(self):
+        from review_recommender_tpu.topics.cluster import spherical_kmeans
+
+        emb, truth = blobs_with_noise(n_per=150, k=4, noise=80, seed=2)
+        labels, info = density_cluster(emb, min_samples=5,
+                                       min_cluster_size=40, knn=12)
+
+        def purity(pred, tr):
+            """mean over predicted clusters of their dominant-truth share
+            (clustered points only)."""
+            shares = []
+            for c in np.unique(pred[pred >= 0]):
+                t = tr[pred == c]
+                # a cluster of pure noise-truth points scores 0 purity
+                dom = np.bincount(t[t >= 0]).max() if (t >= 0).any() else 0
+                shares.append(dom / max(len(t), 1))
+            return float(np.mean(shares)) if shares else 0.0
+
+        km_oracle, _ = spherical_kmeans(emb, k=4, iters=20, seed=0)
+        assert info["n_clusters"] == 4  # derived, not given
+        assert purity(labels, truth) >= purity(km_oracle, truth) - 0.02
+        # k-means is forced to assign noise somewhere; density is not
+        noise_mask = truth == -1
+        assert (labels[noise_mask] == -1).mean() > 0.8
+        assert (km_oracle[noise_mask] >= 0).all()
+
+
+class TestDensityCLI:
+    def test_topics_density_lane(self, tmp_path):
+        """`rrt topics --cluster density` end-to-end: cards written, noise
+        reviews excluded from the rollup."""
+        from review_recommender_tpu.index.build import (
+            build_bundle_from_products,
+        )
+        from review_recommender_tpu.index.io import save_bundle
+        from review_recommender_tpu.serve.cli import main
+        from tests.test_engine_parity import make_corpus
+
+        products, emb, reviews, remb = make_corpus(n=24, dim=32, seed=11)
+        d = tmp_path / "idx"
+        save_bundle(
+            build_bundle_from_products(
+                products, emb, reviews=reviews, review_embeddings=remb,
+                pad_multiple=8, doc_terms_cap=32,
+            ),
+            d,
+        )
+        out = tmp_path / "topics_out"
+        rc = main(["topics", "--index-dir", str(d), "--out", str(out),
+                   "--cluster", "density", "--min-samples", "3",
+                   "--min-cluster-size", "4", "--min-reviews", "1"])
+        assert rc == 0
+        lines = [json.loads(l) for l in
+                 (out / "topic_cards.jsonl").read_text().splitlines()]
+        assert lines
+        assert all(r["topic_id"] >= 0 for r in lines)
