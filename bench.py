@@ -80,6 +80,9 @@ def _print_headline() -> bool:
         extras.append(f"single-stream {_H['single_qps']:.1f} q/s")
     if "rr_p50" in _H:
         extras.append(f"request-response p50 {_H['rr_p50']:.1f} ms")
+    if "engine_qps" in _H:
+        extras.append(f"engine-side {_H['engine_qps']:.0f} q/s "
+                      "(program+featurize, no tunnel dispatch)")
     extras.append(f"CPU-reference {_H['cpu_qps']:.1f} q/s")
     out = {
         "metric": (f"hybrid search throughput, batch={_H['head_batch']}, "
@@ -179,6 +182,38 @@ _SPECS = {
     "vpu_ops": float(os.getenv("ROOFLINE_VPU_TOPS", "3.85")) * 1e12,
     "hbm_bw": float(os.getenv("ROOFLINE_HBM_GBS", "819")) * 1e9,
 }
+
+
+def _chain_ms(step, x0, fetch=None, lo: int = 5, hi: int = 25,
+              reps: int = 5) -> float:
+    """ms per step of a jitted fori_loop chain — the examples/roofline.py
+    methodology: ONE executable with a DYNAMIC trip count (n is traced, so
+    every length shares one compile and per-executable cost), fenced by a
+    host readback of real values, timed as interleaved (lo, hi) pairs with
+    the median pair-difference reported. Per-dispatch tunnel overhead
+    (~1.4 ms/step when chaining separate dispatches) and RPC jitter
+    (±20-50 ms; beats naive difference-of-two-times into NEGATIVE ms at
+    sub-ms programs) cannot pollute the number."""
+    import jax
+
+    @jax.jit
+    def run(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, xx: step(xx), x)
+
+    default_fetch = lambda x: np.asarray(
+        jax.tree_util.tree_leaves(x)[0]).ravel()[:2]
+    f = fetch or default_fetch
+    f(run(x0, 1))  # compile once
+
+    def t(n):
+        t0 = time.perf_counter()
+        f(run(x0, n))
+        return time.perf_counter() - t0
+
+    t(lo)
+    t(hi)
+    diffs = sorted(t(hi) - t(lo) for _ in range(max(reps, 5)))
+    return diffs[len(diffs) // 2] / (hi - lo) * 1e3
 
 
 def _roofline(ms: float, flops: float, bytes_moved: float,
@@ -597,9 +632,11 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         import jax.numpy as jnp
 
         # compiled Pallas BM25 kernel vs the XLA scan at full corpus size
-        # (BASELINE config 2 inner loop). Chained timing: each step's
-        # input depends on the previous output, so the device can't
-        # overlap iterations and per-step time is the true program time.
+        # (BASELINE config 2 inner loop). IN-PROGRAM chained timing (a
+        # dynamic-trip-count fori_loop inside ONE executable, per-step =
+        # trip-count difference / 20): per-dispatch tunnel overhead
+        # (~1.4 ms/step when chaining 20 separate dispatches) cannot
+        # pollute the number — same method as examples/roofline.py.
         from review_recommender_tpu.ops.bm25 import bm25_full_scores
         from review_recommender_tpu.ops.pallas import (
             bm25_full_scores_pallas,
@@ -608,23 +645,24 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         a = engine.arrays
         qf = engine.featurizer.featurize(qstrings[0])
         q_terms = jnp.asarray(qf.q_terms)
+        q_idf0 = jnp.asarray(qf.q_idf)
 
-        def chain(fn):
-            def step(q_idf):
-                s = fn(a["doc_terms"], a["doc_tf"], a["doc_len"],
-                       q_terms, q_idf, engine.avgdl)
-                return q_idf + 1e-12 * s[: q_idf.shape[0]]
-            step = jax.jit(step)
-            x = step(jnp.asarray(qf.q_idf))
-            jax.block_until_ready(x)
-            t0 = time.perf_counter()
-            for _ in range(20):
-                x = step(x)
-            jax.block_until_ready(x)
-            return (time.perf_counter() - t0) / 20 * 1e3
+        def chain(step):
+            return _chain_ms(step, q_idf0)
 
-        xla_ms = chain(bm25_full_scores)
-        pallas_ms = chain(bm25_full_scores_pallas)
+        def step_xla(q_idf):
+            s = bm25_full_scores(a["doc_terms"], a["doc_tf"], a["doc_len"],
+                                 q_terms, q_idf, engine.avgdl)
+            return q_idf + 1e-12 * s[: q_idf.shape[0]]
+
+        def step_pallas(q_idf):
+            s = bm25_full_scores_pallas(
+                a["doc_terms"], a["doc_tf"], a["doc_len"],
+                q_terms, q_idf, engine.avgdl)
+            return q_idf + 1e-12 * s[: q_idf.shape[0]]
+
+        xla_ms = chain(step_xla)
+        pallas_ms = chain(step_pallas)
 
         # packed-transposed kernel (4 B/posting, corpus on the lane
         # axis): the speed-of-light follow-up from examples/roofline.py
@@ -646,14 +684,7 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
                     pk_t, dl_p, q_terms, q_idf, engine.avgdl)
                 return q_idf + 1e-12 * s[: q_idf.shape[0]]
 
-            step_p = jax.jit(step_p)
-            x = step_p(jnp.asarray(qf.q_idf))
-            jax.block_until_ready(x)
-            t0 = time.perf_counter()
-            for _ in range(20):
-                x = step_p(x)
-            jax.block_until_ready(x)
-            packed_ms = (time.perf_counter() - t0) / 20 * 1e3
+            packed_ms = chain(step_p)
 
         out = {
             "tail_metric": f"full-corpus BM25 scan, N={n_docs} (compiled)",
@@ -696,30 +727,70 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             emit({"tail_metric": "dense pool roofline",
                   "skipped": "engine not in striped bf16 mode"})
             return
-        scan_b = jax.vmap(lambda q: dense_striped_topk_scan(
-            a["emb_s"], a["valid_s"], q, pool))
-
-        @jax.jit
-        def step(q):
-            s, _ = scan_b(q)
+        def step(emb_s, valid_s, q):
+            s, _ = jax.vmap(lambda qq: dense_striped_topk_scan(
+                emb_s, valid_s, qq, pool))(q)
             return q + s[:, :1].astype(q.dtype) * jnp.asarray(1e-6, q.dtype)
 
         b = big_batch
-        x = jnp.asarray(qvecs[:b], jnp.bfloat16)
-        x = step(x)
-        jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        for _ in range(20):
-            x = step(x)
-        jax.block_until_ready(x)
-        ms = (time.perf_counter() - t0) / 20 * 1e3
+        x0 = jnp.asarray(qvecs[:b], jnp.bfloat16)
+        ms = _chain_ms(lambda q: step(a["emb_s"], a["valid_s"], q), x0)
         emit({
             "tail_metric": (f"dense fused score+pool scan bf16 "
-                            f"(B={b}, N={n_docs}, D={dim}, chained)"),
+                            f"(B={b}, N={n_docs}, D={dim}, in-program chain)"),
             "measured_ms": round(ms, 3),
             "roofline": _roofline(ms, flops=2 * b * n_docs * dim,
                                   bytes_moved=n_docs * dim * 2),
         })
+
+    @_guard("headline program decomposition",
+            os.getenv("BENCH_DECOMP", "1") == "1", est_s=90)
+    def _():
+        import jax.numpy as jnp
+
+        # Engine-side vs observed throughput: the FULL fused batched
+        # program (featurize-packed input -> dense pool -> candidate BM25 ->
+        # fusion -> top-k) timed with an in-program chain, plus the host
+        # featurize cost. The gap between engine-capable q/s and the
+        # headline q/s is this box's tunnel dispatch overhead (~28 ms
+        # blocking sync + per-dispatch RPC), not engine work — measured
+        # here so the README claim is checkable on any box.
+        b = big_batch
+        packed = engine.featurizer.featurize_packed_batch(qstrings[:b])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            engine.featurizer.featurize_packed_batch(qstrings[:b])
+        feat_ms = (time.perf_counter() - t0) / 20 * 1e3
+        qp0 = jnp.asarray(np.concatenate(
+            [np.asarray(qvecs[:b], np.float32), packed], axis=1))
+        a = engine.arrays
+        rev = engine.rev_arrays
+        snips = jnp.bool_(False)
+        pool_c = min(pool, engine.products.n_padded)
+
+        def prog_step(q):
+            _rows, scores, _bd = engine._fused_packed_batch_impl(
+                a, rev, q, w, snips, pool=pool_c, k=k)
+            # fold scores into the qvec slice only: the packed feature
+            # columns carry term ids as floats compared by equality
+            return q.at[:, 0].add(jnp.sum(scores) * 1e-12)
+
+        prog_ms = _chain_ms(prog_step, qp0)
+        engine_qps = b / ((prog_ms + feat_ms) / 1e3)
+        head = _H.get("head_qps", 0.0)
+        emit({
+            "tail_metric": (f"headline decomposition, batch={b}: full "
+                            "fused program (in-program chain) + host "
+                            "featurize"),
+            "program_ms": round(prog_ms, 3),
+            "host_featurize_ms": round(feat_ms, 3),
+            "engine_side_qps": round(engine_qps, 1),
+            "observed_headline_qps": round(head, 1),
+            "tunnel_overhead_pct": round(
+                100.0 * max(0.0, 1.0 - head / engine_qps), 1)
+            if engine_qps > 0 else None,
+        })
+        _H["engine_qps"] = engine_qps
 
     n_clients = int(os.getenv("BENCH_SERVE_CLIENTS", "64"))
     per_client = int(os.getenv("BENCH_SERVE_REQS", "16"))
@@ -1262,20 +1333,15 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         qt = jnp.asarray(qterm_ids[:batch])
 
         def chain_sa(fn):
+            # fold a hair of every output back into q so iterations
+            # serialize on the device; _chain_ms pairs away tunnel jitter
             def step(q):
                 out = fn(q)
-                # fold a hair of every output back into q: serializes
-                # steps so per-step time is true program time
                 eps = (jnp.sum(out[0][:, :1]) + jnp.sum(
                     out[2][:, :1])) * 1e-12
                 return q + eps.astype(q.dtype)
-            x = step(qv)
-            jax.block_until_ready(x)
-            t0 = time.perf_counter()
-            for _ in range(20):
-                x = step(x)
-            jax.block_until_ready(x)
-            return (time.perf_counter() - t0) / 20 * 1e3
+
+            return _chain_ms(step, qv)
 
         @jax.jit
         def xla_stage_a(q):
