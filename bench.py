@@ -17,7 +17,7 @@ sections, with fully buffered stdout):
   - every print is flushed (emit());
   - the HEADLINE is measured FIRST (warmup + batched QPS + CPU reference),
     then held; tail sections run after it and each one is gated on a global
-    wall-clock deadline (BENCH_DEADLINE_S, default 1380 s — the r3 driver
+    wall-clock deadline (BENCH_DEADLINE_S, default 1500 s — the r3 driver
     killed at ~30 min) with a per-section cost estimate;
   - a SIGTERM/SIGINT handler and a hard watchdog thread print the headline
     and exit even if a tail section hangs on a tunnel readback;
@@ -25,7 +25,7 @@ sections, with fully buffered stdout):
     grant into a diagnostic line instead of 30 minutes of silence.
 
 Env knobs: BENCH_N_DOCS (default 200000), BENCH_QUERIES (default 256),
-BENCH_DIM (384), BENCH_BASELINE_QUERIES (8), BENCH_DEADLINE_S (1380),
+BENCH_DIM (384), BENCH_BASELINE_QUERIES (8), BENCH_DEADLINE_S (1500),
 BENCH_PROBE_TIMEOUT_S (300), per-section BENCH_* gates below.
 """
 from __future__ import annotations
@@ -49,7 +49,7 @@ def emit(obj) -> None:
 
 
 _T0 = time.monotonic()
-_BUDGET = float(os.getenv("BENCH_DEADLINE_S", "1380"))
+_BUDGET = float(os.getenv("BENCH_DEADLINE_S", "1500"))
 
 
 def _remaining() -> float:
@@ -701,13 +701,15 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
                 # as evals_out/roofline.md
                 "packed_roofline": _roofline(
                     packed_ms,
-                    flops=5 * n_lanes * l_terms * (n_q_terms + 1),
+                    # op model from the kernel body: ~3 unpack ops per
+                    # posting + (compare, select, add) per query term
+                    flops=n_lanes * l_terms * (3 + 3 * n_q_terms),
                     bytes_moved=n_lanes * l_terms * 4 + n_lanes * 8,
                     peak_key="vpu_ops"),
             })
         out["classic_roofline"] = _roofline(
             pallas_ms,
-            flops=5 * n_pad * l_terms * (n_q_terms + 1),
+            flops=n_pad * l_terms * (3 + 3 * n_q_terms),
             bytes_moved=n_pad * l_terms * 8 + n_pad * 8,
             peak_key="vpu_ops")
         emit(out)

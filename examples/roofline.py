@@ -248,7 +248,7 @@ def main(argv=None) -> int:
         rows.append(row(
             f"BM25 full-corpus scan, Pallas (N={n_pad}, L={l_terms}, "
             f"Q={n_q_terms}, 1 query)",
-            ms, flops=5 * n_pad * l_terms * (n_q_terms + 1),
+            ms, flops=n_pad * l_terms * (3 + 3 * n_q_terms),
             bytes_moved=n_pad * l_terms * 8 + n_pad * 8,
             specs=specs, peak_key="vpu_ops",
             note="VPU compare/accumulate, no MXU; bound is max(postings "
@@ -276,7 +276,7 @@ def main(argv=None) -> int:
         rows.append(row(
             f"BM25 packed-transposed scan, Pallas (N={pk.shape[1]}, "
             f"L={l_terms}, Q={n_q_terms}, 1 query)",
-            ms, flops=5 * pk.shape[1] * l_terms * (n_q_terms + 1),
+            ms, flops=pk.shape[1] * l_terms * (3 + 3 * n_q_terms),
             bytes_moved=pk.shape[1] * l_terms * 4 + pk.shape[1] * 8,
             specs=specs, peak_key="vpu_ops",
             note="(tf<<24)|term in ONE int32, corpus on the lane axis: "
