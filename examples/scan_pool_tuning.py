@@ -16,6 +16,18 @@ G trades three costs against each other:
 This sweeps G at the headline shape with the jitter-immune in-program
 chain (bench._chain_ms) and prints one JSON line per point, bf16 and
 int8. Run on the chip: python examples/scan_pool_tuning.py
+
+MEASURED RESULT (round 4, v5e, N=200k B=128): stripe count is a FLAT
+knob — G=8192 and G=32768 both sit at 0.27-0.29 ms/step when verified
+with long chains (10 vs 100 trips; a short-chain sweep printed a
+physically-impossible 0.046 ms at G=32768 — sub-ms kernels need >50-step
+differences for the pair-median to beat this box's RPC jitter, hence the
+lo/hi below). int8 scan measured SLOWER than bf16 at every G (0.48-0.55
+vs 0.38 ms at the default) — the MXU doesn't deliver its nominal 2x int8
+rate on these skinny-K shapes (matches the int8-tower negative result in
+ROADMAP.md); int8's value is HBM capacity, not speed. The bf16 scan at
+~70% of its HBM bound is effectively done; DENSE_POOL_STRIPES=8192 stays
+the default.
 """
 from __future__ import annotations
 
@@ -52,7 +64,9 @@ def main() -> int:
     emb = jnp.asarray(emb_f, jnp.bfloat16)
     emb_q, row_scale = quantize_corpus_int8(jnp.asarray(emb_f))
 
-    for stripes in (2048, 4096, 8192, 16384, 32768, 65536):
+    # 2048/4096 excluded: s=N/G of 49-98 fully-unrolled slices makes
+    # XLA compile the scan body that many times (minutes per point)
+    for stripes in (8192, 16384, 32768, 65536):
         emb_s, valid_s = slice_corpus_for_striped(emb, valid, stripes)
 
         def step(q, emb_s=emb_s, valid_s=valid_s):
@@ -60,7 +74,7 @@ def main() -> int:
                 emb_s, valid_s, qq, pool))(q)
             return q + s[:, :1].astype(q.dtype) * jnp.bfloat16(1e-6)
 
-        ms = _chain_ms(step, qv)
+        ms = _chain_ms(step, qv, lo=10, hi=60)
         print(json.dumps({
             "kernel": "scan bf16", "stripes": stripes,
             "carry_mib": round(b * stripes * 8 / 2**20, 1),
@@ -77,7 +91,7 @@ def main() -> int:
                 emb_qs, scale_s, valid_qs, qq, pool))(q)
             return q + s[:, :1] * 1e-6
 
-        ms8 = _chain_ms(step8, qv32)
+        ms8 = _chain_ms(step8, qv32, lo=10, hi=60)
         print(json.dumps({
             "kernel": "scan int8", "stripes": stripes,
             "carry_mib": round(b * stripes * 8 / 2**20, 1),
