@@ -212,7 +212,7 @@ class Config:
     # fallback when librrt_native.so is absent.
     SERVE_NATIVE = _env_bool("SERVE_NATIVE", "false")
     MICROBATCH_WINDOW_MS = _env_float("MICROBATCH_WINDOW_MS", "2.0")
-    MICROBATCH_MAX = _env_int("MICROBATCH_MAX", "64")
+    MICROBATCH_MAX = _env_int("MICROBATCH_MAX", "128")
     # Per-rider wait bound on the coalesced path. Must cover a COLD
     # compile of a not-yet-warmed program shape (a burst with a novel
     # k/rerank_k compiles inside the window — warmup only pre-builds the

@@ -104,7 +104,11 @@ class _Pending:
         self.error = None
 
 
-BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+# 128 added in round 4: each coalesced window pays ONE blocking device
+# sync (~28 ms on this tunneled box), so the serving ceiling is
+# windows/s x riders/window — wider windows are pure throughput upside
+# under pipelined load (light load still closes windows at window_ms).
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 # cap on cached escaped row fragments (~4 KB each at the reference's
 # agg_text cap — ≈128 MiB worst case); see _row_fragment

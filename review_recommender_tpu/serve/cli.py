@@ -604,6 +604,7 @@ def cmd_eval(args) -> int:
     """
     from review_recommender_tpu.evals.benchmark import (
         format_results_table,
+        measure_rpc_floor,
         run_performance_benchmark,
         save_benchmark_results,
     )
