@@ -378,7 +378,7 @@ class MicroBatcher:
     bounded regardless of client behavior (no compile-per-batch-size DoS).
     """
 
-    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+    BUCKETS = BATCH_BUCKETS  # one ladder for both front ends
 
     def __init__(self, engine, window_ms: float = None, max_batch: int = None):
         self.engine = engine
