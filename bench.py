@@ -131,6 +131,13 @@ def _install_guards() -> None:
               "note": f"hard deadline hit at t+{time.monotonic() - _T0:.0f}s; "
                       "a tail section is hung — emitting headline and exiting"})
         had = _print_headline()
+        if not had:
+            # mirror on_sig: the driver parses the LAST stdout line, so a
+            # headline-shaped abort record must always be the final line
+            emit({"metric": "bench aborted before headline was measured",
+                  "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+                  "error": f"watchdog at t+{time.monotonic() - _T0:.0f}s "
+                           "(headline measurement hung)"})
         os._exit(0 if had else 3)
 
     threading.Thread(target=watchdog, daemon=True).start()
@@ -932,6 +939,7 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         from review_recommender_tpu.serve.native_server import serve_native
 
         engine.query_encoder = _bench_enc
+        srv = None
         try:
             srv = serve_native(engine, host="127.0.0.1", port=0, warmup=True)
             url = f"http://127.0.0.1:{srv.port}/search"
@@ -950,8 +958,11 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
                 "error_sample": sorted(set(errs))[:3],
                 "native_server": srv.stats(),
             })
-            srv.close()
         finally:
+            # a failing load test must not leave the server competing for
+            # this host's single core through every later section
+            if srv is not None:
+                srv.close()
             engine.query_encoder = None
 
     @_guard("live HTTP serve", os.getenv("BENCH_SERVE", "1") == "1",
@@ -967,8 +978,11 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         from review_recommender_tpu.serve.api import serve as serve_http
 
         engine.query_encoder = _bench_enc
+        srv = None
+        svc = None
         try:
             srv = serve_http(engine, host="127.0.0.1", port=0, warmup=True)
+            svc = getattr(srv, "service", None)
             t = _threading.Thread(target=srv.serve_forever, daemon=True)
             t.start()
             url = f"http://127.0.0.1:{srv.server_address[1]}/search"
@@ -976,7 +990,6 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
                                                     per_client)
             pipe_qps = _pipelined_load(srv.server_address[1], n_clients,
                                        per_client)
-            svc = getattr(srv, "service", None)
             stats = svc.info() if svc is not None else {}
             emit({
                 "tail_metric": (f"live HTTP /search, {n_clients} concurrent "
@@ -989,9 +1002,11 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
                 "error_sample": sorted(set(errs))[:3],
                 "microbatch": stats.get("microbatch"),
             })
-            srv.shutdown()
-            svc.close()
         finally:
+            if srv is not None:
+                srv.shutdown()
+            if svc is not None:
+                svc.close()
             engine.query_encoder = None
 
     @_guard("exact pool", os.getenv("BENCH_STRIPED", "1") == "1", est_s=120)

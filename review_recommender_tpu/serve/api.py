@@ -217,9 +217,11 @@ def format_search_result_bytes(engine, req, rows, scores, bd, batch_n,
         if not _math.isfinite(s):
             # top-k pads the tail with -inf; match assemble_result_rows.
             # A non-finite score BEFORE the pad tail would mean a numerics
-            # bug upstream — surface it rather than truncating silently.
-            if rank < len(rows) - 1 and _math.isfinite(float(
-                    scores[rank + 1])):
+            # bug upstream — surface it rather than truncating silently
+            # (check the WHOLE remainder: consecutive NaNs mid-list must
+            # still warn when any finite row follows them).
+            if any(_math.isfinite(float(scores[r]))
+                   for r in range(rank + 1, len(rows))):
                 logger.warning(
                     "non-finite score at rank %d of %d (finite rows follow) "
                     "— response truncated; query=%r", rank, len(rows),

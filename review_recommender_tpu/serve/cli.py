@@ -552,6 +552,16 @@ def cmd_topics(args) -> int:
             t["rationale"] = meta.get("rationale", "")
             llm_aspects[t["topic_id"]] = t["aspect"]
         labels = {**labels, **{t["topic_id"]: t["label"] for t in topics}}
+        # one vocabulary per run: topics WITHOUT an LLM answer (dropped by
+        # --min-reviews, empty meta) would otherwise flow through the
+        # rule-based mapping and mix its vocabulary ("price"/"other") with
+        # the LLM taxonomy ("pricing"/"misc") inside one aspect_metrics.json
+        rule_to_llm = {"price": "pricing", "shipping": "shipping",
+                       "quality": "quality", "usability": "usability"}
+        for tid, label in labels.items():
+            if tid not in llm_aspects:
+                llm_aspects[tid] = rule_to_llm.get(
+                    map_label_to_aspect(label), "misc")
 
     metrics = aspect_metrics(topic_ids, stars, labels, aspects=llm_aspects)
 

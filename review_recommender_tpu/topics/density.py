@@ -112,8 +112,11 @@ def knn_graph(
         vals, idx = np.array(vals), np.array(idx)
         # padding COLUMNS are zero vectors: sim exactly 0.0 against unit
         # rows; mask any that sneaked into the top-k of sparse corpora
+        # (both vals AND idx — a leaked pad index >= n would crash every
+        # downstream is_core[dst]-style lookup)
         bad = idx >= n
         vals[bad] = -np.inf
+        idx[bad] = -1
         take = len(block) - bpad
         sims_out[lo:lo + take] = vals[:take]
         idx_out[lo:lo + take] = idx[:take]
@@ -168,12 +171,16 @@ def density_cluster(
     sims, idx = knn_graph(emb, k=k_graph,
                           batch_rows=batch_rows, col_chunk=col_chunk)
 
-    # strip the self column (always rank 0 at sim ~1.0 for unit vectors)
-    self_col = idx == np.arange(n)[:, None]
-    # rare exact duplicates can displace self from rank 0; keep the first
-    # self-looking column only
-    first_self = np.cumsum(self_col, axis=1) == 1
-    keep = ~(self_col & first_self)
+    # strip ONE column per row: the self column where present (rank 0 at
+    # sim ~1.0 for unit vectors). With > k_graph exact-duplicate rows
+    # (repeated review texts) lax.top_k's index tie-break can exclude self
+    # entirely — those rows drop their LAST (worst) column instead, so the
+    # reshape below is always exact.
+    is_self = idx == np.arange(n)[:, None]
+    drop_col = np.where(is_self.any(axis=1), is_self.argmax(axis=1),
+                        k_graph - 1)
+    keep = np.ones_like(idx, bool)
+    keep[np.arange(n), drop_col] = False
     sims = sims[keep].reshape(n, k_graph - 1)
     idx = idx[keep].reshape(n, k_graph - 1)
 

@@ -101,11 +101,14 @@ class BaseLLMClient:
 
     def complete(self, prompt: str, system: Optional[str] = None) -> str:
         for attempt in range(self.retry.max_retries):
+            last = attempt == self.retry.max_retries - 1
             try:
                 self.calls += 1
                 return self._call(prompt, system)
             except LLMHTTPError as e:
                 if e.status == 429 or 500 <= e.status < 600:
+                    if last:  # no point sleeping AFTER the final attempt
+                        break
                     w = self.retry.wait_http(attempt, getattr(e, "retry_after",
                                                               None))
                     logger.warning("LLM HTTP %d, backoff %.1fs (try %d/%d)",
@@ -116,6 +119,8 @@ class BaseLLMClient:
                 raise
             except (urllib.error.URLError, OSError, json.JSONDecodeError,
                     KeyError, IndexError) as e:
+                if last:
+                    break
                 w = self.retry.wait_transient()
                 logger.warning("LLM transient error: %s -> sleep %.1fs", e, w)
                 self.retry.sleep(w)
@@ -210,14 +215,26 @@ class OpenAIChatClient(BaseLLMClient):
 
     def __init__(self, base_url: str = "https://api.openai.com",
                  model: str = "gpt-4o-mini", api_key: Optional[str] = None,
-                 temperature: float = 0.0, dry_run: bool = False,
+                 temperature: float = 0.0,
+                 dry_run: Optional[bool] = None,
                  json_mode: bool = True, **kw):
         super().__init__(**kw)
         self.base_url = base_url.rstrip("/")
         self.model = model
         self.api_key = api_key
         self.temperature = temperature
-        self.dry_run = dry_run or not api_key
+        # dry_run=None -> auto: dry without a key ONLY for the official
+        # endpoint (the OpenAI script's default). A custom base_url means a
+        # local/keyless OpenAI-wire server (vLLM, llama.cpp) — contact it
+        # for real; a missing-but-required key then fails loudly with 401
+        # instead of silently writing dry-run labels.
+        if dry_run is None:
+            dry_run = not api_key and "api.openai.com" in self.base_url
+        self.dry_run = bool(dry_run)
+        if self.dry_run:
+            logger.warning(
+                "OpenAI adapter in DRY-RUN mode (no API key): replies are "
+                "canned placeholders, no network calls are made")
         self.json_mode = json_mode
 
     def _call(self, prompt: str, system: Optional[str]) -> str:
@@ -279,7 +296,10 @@ def from_spec(spec: str, model: Optional[str] = None,
             base_url=url or "https://api.openai.com",
             model=model or os.getenv("LLM_MODEL", "gpt-4o-mini"),
             api_key=key,
-            dry_run=os.getenv("LLM_DRY_RUN", "0") == "1",
+            # LLM_DRY_RUN=1 forces dry; otherwise auto (dry only for the
+            # official endpoint without a key — an explicit URL is a real,
+            # possibly keyless, server)
+            dry_run=True if os.getenv("LLM_DRY_RUN", "0") == "1" else None,
             **kw)
     raise ValueError(f"unknown LLM spec {spec!r} "
                      "(expected dry | ollama[:url] | openai[:url])")
@@ -395,7 +415,12 @@ def label_topics(
             meta = parse_topic_json(raw)
             if pacing_s:
                 time.sleep(pacing_s)
-        cache[key] = meta
+        # transient failures must NOT poison the resume cache: a cached
+        # "retry_exhausted"/"char_budget" entry would pin the topic at
+        # Misc forever even after the backend recovers / the budget is
+        # raised. They still flow to the caller for this run.
+        if meta.get("rationale") not in ("retry_exhausted", "char_budget"):
+            cache[key] = meta
         out[tid] = dict(meta)
         processed += 1
         if processed % flush_every == 0:

@@ -113,6 +113,37 @@ class TestDensityCluster:
         labels, info = density_cluster(np.zeros((0, 8), np.float32))
         assert labels.shape == (0,) and info["n_clusters"] == 0
 
+    def test_small_diverse_corpus_pad_leak(self):
+        """Regression (self-review r4): when a row's k-th real neighbor has
+        NEGATIVE cosine sim, zero-vector padding columns (sim exactly 0.0)
+        enter the top-k; their indices must not leak into edge building
+        (crashed with IndexError on is_core[dst])."""
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((24, 8)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        labels, info = density_cluster(emb, min_samples=3,
+                                       min_cluster_size=2)
+        assert labels.shape == (24,)
+
+    def test_many_exact_duplicates(self):
+        """Regression (self-review r4): > k_graph identical rows (repeated
+        review texts) can exclude a row's SELF from its own top-k via the
+        top_k index tie-break; the self-strip must still remove exactly one
+        column per row (crashed with a reshape ValueError)."""
+        rng = np.random.default_rng(1)
+        dup = np.tile(rng.standard_normal((1, 12)).astype(np.float32),
+                      (25, 1))
+        rest = rng.standard_normal((200, 12)).astype(np.float32)
+        emb = np.concatenate([dup, rest])
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        labels, info = density_cluster(emb, min_samples=10,
+                                       min_cluster_size=20)
+        assert labels.shape == (225,)
+        # the 25 duplicates are the densest region: one cluster together
+        dup_labels = labels[:25]
+        assert (dup_labels >= 0).all()
+        assert len(set(dup_labels.tolist())) == 1
+
 
 class TestDensityVsKMeans:
     """The measured justification for keeping both lanes: on a noisy

@@ -216,11 +216,47 @@ class TestOpenAIChatClient(unittest.TestCase):
         self.assertEqual(len(pol.waits), 1)
         self.assertGreaterEqual(pol.waits[0], 7.0)
 
-    def test_dry_run_without_key_makes_no_network_calls(self):
+    def test_dry_run_auto_only_for_official_endpoint(self):
+        # keyless + the OFFICIAL endpoint -> dry (the reference script's
+        # default); keyless + an explicit custom URL -> a real request (a
+        # local vLLM/llama.cpp server needs no key — silent dry-run there
+        # wrote garbage labels with rc=0, self-review r4)
+        official = OpenAIChatClient(api_key=None)
+        self.assertTrue(official.dry_run)
+        raw = official.complete("p")
+        self.assertEqual(parse_topic_json(raw)["rationale"], "dry_run")
+
         c = OpenAIChatClient(base_url=self.srv.url, api_key=None)
+        self.assertFalse(c.dry_run)
+        c.complete("p")
+        self.assertEqual(len(self.srv.httpd.hits), 1)
+
+    def test_forced_dry_run_makes_no_network_calls(self):
+        c = OpenAIChatClient(base_url=self.srv.url, api_key=None,
+                             dry_run=True)
         raw = c.complete("p")
         self.assertEqual(self.srv.httpd.hits, [])
         self.assertEqual(parse_topic_json(raw)["rationale"], "dry_run")
+
+    def test_no_sleep_after_final_failed_attempt(self):
+        from review_recommender_tpu.topics.llm_clients import (
+            LLMHTTPError,
+            RetryPolicy,
+        )
+
+        sleeps = []
+
+        class Always429(OpenAIChatClient):
+            def _call(self, prompt, system):
+                raise LLMHTTPError(429)
+
+        c = Always429(api_key="k", retry=RetryPolicy(
+            max_retries=3, sleep=sleeps.append))
+        raw = c.complete("p")
+        self.assertEqual(parse_topic_json(raw)["rationale"],
+                         "retry_exhausted")
+        # attempts 0 and 1 back off; the FINAL attempt must not sleep
+        self.assertEqual(len(sleeps), 2)
 
 
 class TestParsing(unittest.TestCase):
@@ -293,6 +329,33 @@ class TestLabelTopics(unittest.TestCase):
                            char_budget=1)  # nothing fits
         self.assertEqual(self.srv.httpd.hits, [])
         self.assertEqual(out[0]["rationale"], "char_budget")
+
+    def test_transient_fallbacks_do_not_poison_the_cache(self):
+        """Self-review r4: a cached retry_exhausted/char_budget entry would
+        pin the topic at Misc forever, even after the backend recovers —
+        only real answers may persist."""
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            cache = f"{d}/cache.json"
+            quotes = {0: ["battery died"]}
+            # run 1: backend down for every attempt -> fallback answer
+            self.srv.httpd.fail_remaining = 99
+            c = OpenAIChatClient(base_url=self.srv.url, api_key="k",
+                                 retry=fast_retry())
+            out1 = label_topics(c, quotes, cache_path=cache)
+            self.assertEqual(out1[0]["rationale"], "retry_exhausted")
+            # run 2: backend healthy -> the topic is re-labeled for real
+            self.srv.httpd.fail_remaining = 0
+            c2 = OpenAIChatClient(base_url=self.srv.url, api_key="k",
+                                  retry=fast_retry())
+            out2 = label_topics(c2, quotes, cache_path=cache)
+            self.assertNotEqual(out2[0]["rationale"], "retry_exhausted")
+            # run 3: and the REAL answer is cached
+            hits_before = len(self.srv.httpd.hits)
+            c3 = OpenAIChatClient(base_url=self.srv.url, api_key="k",
+                                  retry=fast_retry())
+            label_topics(c3, quotes, cache_path=cache)
+            self.assertEqual(len(self.srv.httpd.hits), hits_before)
 
     def test_aspect_voter_plugs_into_classify(self):
         from review_recommender_tpu.topics.naming import (
