@@ -123,6 +123,86 @@ def knn_graph(
     return sims_out, idx_out
 
 
+def knn_graph_sharded(
+    embeddings: np.ndarray,
+    k: int = 16,
+    mesh=None,
+    n_shards: Optional[int] = None,
+    batch_rows: int = 1024,
+    axis: str = "shard",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """knn_graph over a device mesh: corpus rows sharded across devices, so
+    review sets larger than one chip's HBM cluster at full exactness.
+
+    SPMD shape (same merge-then-fuse pattern as parallel/sharded.py): each
+    device scores the replicated row-block against its LOCAL corpus shard,
+    takes a local top-k, then an ``all_gather`` over ICI merges the
+    (n_dev, B, k) partials into the exact global top-k — per-block HBM
+    traffic is one read of each device's shard, and nothing corpus-sized
+    crosses the interconnect. Results are bit-comparable to knn_graph
+    (scores exact; index ties may break differently across shard
+    boundaries).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    emb = np.asarray(embeddings, np.float32)
+    n, d = emb.shape
+    k_eff = min(k, n)
+    if n == 0:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+
+    if mesh is None:
+        n_dev = n_shards or len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), (axis,))
+    n_dev = mesh.shape[axis]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+
+    per = -(-n // n_dev)
+    pad = per * n_dev - n
+    emb_p = np.pad(emb, [(0, pad), (0, 0)]) if pad else emb
+    emb_sh = jax.device_put(
+        jnp.asarray(emb_p), NamedSharding(mesh, P(axis, None)))
+
+    def body(emb_l, block):
+        d_idx = jax.lax.axis_index(axis)
+        sims = jnp.dot(block, emb_l.T,
+                       preferred_element_type=jnp.float32)  # (B, per)
+        v, i = jax.lax.top_k(sims, min(k_eff, per))
+        gi = i.astype(jnp.int32) + d_idx.astype(jnp.int32) * per
+        av = jax.lax.all_gather(v, axis)   # (n_dev, B, k)
+        ai = jax.lax.all_gather(gi, axis)
+        b = block.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(b, -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(b, -1)
+        vv, pos = jax.lax.top_k(av, k_eff)
+        return vv, jnp.take_along_axis(ai, pos, axis=1)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+
+    sims_out = np.empty((n, k_eff), np.float32)
+    idx_out = np.empty((n, k_eff), np.int32)
+    for lo in range(0, n, batch_rows):
+        block = emb[lo:lo + batch_rows]
+        bpad = (-len(block)) % batch_rows
+        if bpad:
+            block = np.pad(block, [(0, bpad), (0, 0)])
+        vals, idx = fn(emb_sh, jnp.asarray(block))
+        vals, idx = np.array(vals), np.array(idx)
+        bad = idx >= n  # zero-vector padding rows on the last shard
+        vals[bad] = -np.inf
+        idx[bad] = -1
+        take = len(block) - bpad
+        sims_out[lo:lo + take] = vals[:take]
+        idx_out[lo:lo + take] = idx[:take]
+    return sims_out, idx_out
+
+
 class _UnionFind:
     __slots__ = ("parent",)
 
@@ -153,6 +233,8 @@ def density_cluster(
     eps_quantile: float = 0.60,
     batch_rows: int = 1024,
     col_chunk: int = 32768,
+    n_shards: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, dict]:
     """Density clustering with HDBSCAN's output semantics.
 
@@ -160,6 +242,8 @@ def density_cluster(
     0..n_clusters-1 by descending size, info dict with eps / counts).
     Cluster count comes from the data; `min_cluster_size` dissolves
     runt components into noise (05_clustering.py:44-49 tunables).
+    n_shards / mesh > 1 device: the kNN graph shards the corpus across
+    the mesh (knn_graph_sharded); the host graph stages are unchanged.
     """
     emb = np.asarray(embeddings, np.float32)
     n = len(emb)
@@ -168,8 +252,13 @@ def density_cluster(
             "n_clusters": 0, "noise": 0, "eps": 0.0}
 
     k_graph = min(max(knn, min_samples) + 1, n)  # +1: self column
-    sims, idx = knn_graph(emb, k=k_graph,
-                          batch_rows=batch_rows, col_chunk=col_chunk)
+    if mesh is not None or (n_shards or 1) > 1:
+        sims, idx = knn_graph_sharded(emb, k=k_graph, mesh=mesh,
+                                      n_shards=n_shards,
+                                      batch_rows=batch_rows)
+    else:
+        sims, idx = knn_graph(emb, k=k_graph,
+                              batch_rows=batch_rows, col_chunk=col_chunk)
 
     # strip ONE column per row: the self column where present (rank 0 at
     # sim ~1.0 for unit vectors). With > k_graph exact-duplicate rows

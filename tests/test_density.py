@@ -178,6 +178,45 @@ class TestDensityVsKMeans:
         assert (km_oracle[noise_mask] >= 0).all()
 
 
+class TestShardedKnn:
+    """knn_graph_sharded: corpus rows sharded over the (virtual 8-device)
+    mesh; scores must match the single-chip graph exactly."""
+
+    def test_parity_vs_single_chip(self):
+        import jax
+
+        from review_recommender_tpu.topics.density import knn_graph_sharded
+
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((83, 16)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        k = 9
+        s1, i1 = knn_graph(emb, k=k, batch_rows=32, col_chunk=32)
+        n_dev = min(8, len(jax.devices()))
+        s2, i2 = knn_graph_sharded(emb, k=k, n_shards=n_dev, batch_rows=32)
+        np.testing.assert_allclose(s2, s1, atol=1e-5)
+        # indices are score-equivalent (ties may break across shards)
+        full = emb @ emb.T
+        for r in range(len(emb)):
+            np.testing.assert_allclose(full[r, i2[r]], s1[r], atol=1e-5)
+
+    def test_density_cluster_over_mesh_matches(self):
+        import jax
+
+        emb, truth = blobs_with_noise(n_per=60, k=3, noise=30, seed=4)
+        l1, info1 = density_cluster(emb, min_samples=4, min_cluster_size=20)
+        n_dev = min(8, len(jax.devices()))
+        l2, info2 = density_cluster(emb, min_samples=4, min_cluster_size=20,
+                                    n_shards=n_dev)
+        assert info1["n_clusters"] == info2["n_clusters"]
+        assert info1["eps"] == pytest.approx(info2["eps"], abs=1e-6)
+        # same partition up to label permutation
+        for c in np.unique(l1):
+            rows = l1 == c
+            vals = np.unique(l2[rows])
+            assert len(vals) == 1, (c, vals)
+
+
 class TestDensityCLI:
     def test_topics_density_lane(self, tmp_path):
         """`rrt topics --cluster density` end-to-end: cards written, noise
