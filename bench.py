@@ -191,7 +191,7 @@ _SPECS = {
 }
 
 
-def _chain_ms(step, x0, fetch=None, lo: int = 5, hi: int = 25,
+def _chain_ms(step, x0, fetch=None, lo: int = 10, hi: int = 110,
               reps: int = 5) -> float:
     """ms per step of a jitted fori_loop chain — the examples/roofline.py
     methodology: ONE executable with a DYNAMIC trip count (n is traced, so
@@ -200,7 +200,9 @@ def _chain_ms(step, x0, fetch=None, lo: int = 5, hi: int = 25,
     the median pair-difference reported. Per-dispatch tunnel overhead
     (~1.4 ms/step when chaining separate dispatches) and RPC jitter
     (±20-50 ms; beats naive difference-of-two-times into NEGATIVE ms at
-    sub-ms programs) cannot pollute the number."""
+    sub-ms programs) cannot pollute the number. Default 100-step
+    differences: 20-step differences of 1-2 ms kernels measured anywhere
+    from 0.57x to 1.75x across runs on this tunnel."""
     import jax
 
     @jax.jit
@@ -1282,25 +1284,12 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
 
         res = {}
         for name, f in (("xla", mha_xla), ("pallas", mha_pallas)):
-            @jax.jit
-            def run(q, kq, vq, bq, n, f=f):
-                body = lambda i, qq: qq + f(
-                    qq, kq, vq, bq, heads) * jnp.bfloat16(1e-6)
-                return jax.lax.fori_loop(0, n, body, q)
-
-            np.asarray(run(q0, kk, vv, bias, 1)[0, 0, :2])
-
-            def timed(n):
-                # host readback, not block_until_ready: the tunnel's
-                # block can return before the computation ran (observed
-                # for scalar outputs); fetching real values is the only
-                # reliable fence
-                t0 = time.perf_counter()
-                np.asarray(run(q0, kk, vv, bias, n)[0, 0, :2])
-                return time.perf_counter() - t0
-
-            timed(5)
-            res[name] = (timed(25) - timed(5)) / 20 * 1e3
+            # _chain_ms pair-medians with 100-step differences: a single
+            # 20-step difference of a ~1-2 ms kernel is jitter-dominated
+            # on this tunnel (observed runs ranged 0.57x-1.75x before)
+            step = (lambda q, f=f:
+                    q + f(q, kk, vv, bias, heads) * jnp.bfloat16(1e-6))
+            res[name] = _chain_ms(step, q0, lo=10, hi=110)
         # numerical parity of the two paths on this shape
         d = np.abs(
             np.asarray(mha_pallas(q0, kk, vv, bias, heads),

@@ -53,7 +53,11 @@ def chip_specs():
     return None  # CPU/other: measure only, no bounds
 
 
-CHAIN_LO, CHAIN_HI = 5, 25  # shrunk by --quick for CPU smoke runs
+# 100-step differences: on a jittery tunnel a 20-step difference of a
+# sub-2ms kernel can be noise-dominated (observed: a Pallas MHA row at
+# 3.6 ms in one run vs 1.1-1.7 ms in three others, and one negative
+# measurement). Shrunk by --quick for CPU smoke runs.
+CHAIN_LO, CHAIN_HI = 10, 110
 
 
 def timed_chain(step, x0, *, lo: int | None = None, hi: int | None = None,

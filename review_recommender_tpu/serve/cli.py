@@ -423,14 +423,18 @@ def cmd_train(args) -> int:
 
 def cmd_topics(args) -> int:
     """The archived topic pipeline as ONE production command: cluster the
-    index's review embeddings (TPU spherical k-means), TF-IDF-name the
-    clusters, compute aspect impact metrics, and generate resume-safe topic
-    cards — the reference ran these as five separate scripts over DuckDB
+    index's review embeddings (TPU spherical k-means, or HDBSCAN-semantics
+    density clustering with --cluster density — topics/density.py),
+    TF-IDF-name the clusters (or a real LLM backend with --llm
+    ollama|openai[:url] — topics/llm_clients.py), compute aspect impact
+    metrics, and generate resume-safe topic cards — the reference ran
+    these as five separate scripts over DuckDB
     (/root/reference/nlp/_archive/05_clustering.py, 06_name_topics.py,
-    07_aspect_metrics.py, 08_generate_topic_cards_qwen3bq4.py). `--bench`
-    runs the throughput estimator instead of writing cards (the archive's
-    standalone LLM-throughput tool, nlp/_archive/test.py:15-35): times a
-    topic sample per knob config and projects the full-run ETA.
+    06_cluster_topics_ollama.py, 07_aspect_metrics.py,
+    08_generate_topic_cards_qwen3bq4.py). `--bench` runs the throughput
+    estimator instead of writing cards (the archive's standalone
+    LLM-throughput tool, nlp/_archive/test.py:15-35): times a topic sample
+    per knob config and projects the full-run ETA.
     """
     from review_recommender_tpu.index.io import load_bundle
     from review_recommender_tpu.topics.cards import (
