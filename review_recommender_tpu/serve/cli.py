@@ -475,7 +475,8 @@ def cmd_topics(args) -> int:
 
         topic_ids, dinfo = density_cluster(
             emb, min_samples=args.min_samples,
-            min_cluster_size=args.min_cluster_size)
+            min_cluster_size=args.min_cluster_size,
+            n_shards=getattr(args, "shards", None))
         k = int(dinfo["n_clusters"])
         print(f"density: {k} clusters, {dinfo['noise']} noise reviews "
               f"(eps={dinfo['eps']:.4f})", file=sys.stderr)
@@ -798,6 +799,9 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--min-cluster-size", type=int, default=40,
                     help="density: dissolve smaller clusters into noise "
                          "(05_clustering.py MIN_CLUSTER_SIZE)")
+    tp.add_argument("--shards", type=int, default=None,
+                    help="density: shard the kNN graph's corpus across N "
+                         "mesh devices (knn_graph_sharded)")
     tp.add_argument("--min-reviews", type=int, default=5,
                     help="drop topics smaller than this")
     tp.add_argument("--n-quotes", type=int, default=3)
