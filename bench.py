@@ -1310,7 +1310,12 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         del q0, kk, vv
 
     @_guard("fused stage-A kernel",
-            os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu, est_s=380)
+            os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu,
+            # 358 s COLD; ~90-150 s with the persistent compile cache
+            # warm (the driver run follows validation runs). If it
+            # overruns, the watchdog truncates only this last section
+            # after the headline is already out.
+            est_s=150)
     def _():
         import jax.numpy as jnp
 
