@@ -42,6 +42,11 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
     pad_token_id: int = 0
+    # LayerNorm compute dtype. float32 (default) is the HF-parity /
+    # training-safe choice; bfloat16 removes the f32 up-cast round trips
+    # of every (B, S, H) residual tensor (2 LNs/layer) — an
+    # inference-serving knob, measured in examples/tower_speed.py.
+    ln_dtype: str = "float32"
 
     @classmethod
     def bge_small(cls) -> "BertConfig":
@@ -97,13 +102,14 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attn_bias):
         c = self.cfg
+        ln_dt = jnp.float32 if c.ln_dtype == "float32" else jnp.bfloat16
         ln = lambda name: nn.LayerNorm(
-            epsilon=c.layer_norm_eps, dtype=jnp.float32,
+            epsilon=c.layer_norm_eps, dtype=ln_dt,
             param_dtype=jnp.float32, name=name,
         )
         attn_out = SelfAttention(c, self.dtype, self.attn_impl,
                                  name="attention")(x, attn_bias)
-        x = ln("attention_layer_norm")((x + attn_out).astype(jnp.float32))
+        x = ln("attention_layer_norm")((x + attn_out).astype(ln_dt))
         x = x.astype(self.dtype)
 
         h = nn.Dense(
@@ -115,7 +121,7 @@ class BertLayer(nn.Module):
             c.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
             name="output",
         )(h)
-        x = ln("output_layer_norm")((x + h).astype(jnp.float32))
+        x = ln("output_layer_norm")((x + h).astype(ln_dt))
         return x.astype(self.dtype)
 
 
