@@ -982,11 +982,13 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         engine.query_encoder = _bench_enc
         srv = None
         svc = None
+        loop_started = False
         try:
             srv = serve_http(engine, host="127.0.0.1", port=0, warmup=True)
             svc = getattr(srv, "service", None)
             t = _threading.Thread(target=srv.serve_forever, daemon=True)
             t.start()
+            loop_started = True
             url = f"http://127.0.0.1:{srv.server_address[1]}/search"
             qps, p50, p99, errs = _closed_loop_http(url, n_clients,
                                                     per_client)
@@ -1006,7 +1008,13 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             })
         finally:
             if srv is not None:
-                srv.shutdown()
+                if loop_started:
+                    # shutdown() blocks on an event only serve_forever sets;
+                    # calling it before the loop ran would hang this section
+                    # until the global watchdog kills the whole bench
+                    srv.shutdown()
+                else:
+                    srv.server_close()
             if svc is not None:
                 svc.close()
             engine.query_encoder = None

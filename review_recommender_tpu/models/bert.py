@@ -102,6 +102,10 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attn_bias):
         c = self.cfg
+        if c.ln_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"ln_dtype={c.ln_dtype!r} (expected 'float32'/'bfloat16') "
+                "— a typo here would silently degrade LayerNorm numerics")
         ln_dt = jnp.float32 if c.ln_dtype == "float32" else jnp.bfloat16
         ln = lambda name: nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=ln_dt,

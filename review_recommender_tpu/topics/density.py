@@ -35,22 +35,28 @@ Semantics (mirroring hdbscan.HDBSCAN(min_cluster_size, min_samples)):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _knn_block(emb_chunks, block, base, *, k, chunk):
+def _knn_block(emb_chunks, block, base, n_real, *, k, chunk):
     """Exact top-k cosine neighbors of `block` (B, D) against the full
     corpus `emb_chunks` (n_chunks, chunk, D), merged chunk-by-chunk with
     lax.scan so the (B, chunk) sims tile never hits HBM at full width.
 
-    `base` is the global row offset of each chunk's first column; padding
-    columns (zero vectors) score sim 0 and are pushed to -inf by callers
-    masking afterwards. Returns (vals (B, k), idx (B, k)) sorted desc.
+    `base` is the global row offset of each chunk's first column; columns
+    past `n_real` are zero-vector padding and are masked to -inf INSIDE
+    the program (a pad's raw sim of exactly 0.0 would otherwise displace
+    real negative-sim neighbors from the top-k — self-review r4 root
+    cause). Returns (vals (B, k), idx (B, k)) sorted desc; only rows with
+    fewer than k real neighbors carry (-inf, -1) tails.
     """
     b = block.shape[0]
     init = (jnp.full((b, k), -jnp.inf, jnp.float32),
@@ -62,6 +68,7 @@ def _knn_block(emb_chunks, block, base, *, k, chunk):
         sims = jnp.dot(block, chunk_emb.T,
                        preferred_element_type=jnp.float32)  # (B, chunk)
         cols = off + jnp.arange(chunk, dtype=jnp.int32)
+        sims = jnp.where(cols[None, :] < n_real, sims, -jnp.inf)
         merged_v = jnp.concatenate([vals, sims], axis=1)
         merged_i = jnp.concatenate(
             [idx, jnp.broadcast_to(cols, (b, chunk))], axis=1)
@@ -70,7 +77,7 @@ def _knn_block(emb_chunks, block, base, *, k, chunk):
         return (top_v, top_i), None
 
     (vals, idx), _ = jax.lax.scan(step, init, (emb_chunks, base))
-    return vals, idx
+    return vals, jnp.where(jnp.isfinite(vals), idx, -1)
 
 
 def knn_graph(
@@ -107,16 +114,9 @@ def knn_graph(
         if bpad:
             block = np.pad(block, [(0, bpad), (0, 0)])
         vals, idx = _knn_block(emb_chunks, jnp.asarray(block), base,
-                               k=k_eff, chunk=col_chunk)
+                               jnp.int32(n), k=k_eff, chunk=col_chunk)
         # np.array (not asarray): jax buffers view as read-only host arrays
         vals, idx = np.array(vals), np.array(idx)
-        # padding COLUMNS are zero vectors: sim exactly 0.0 against unit
-        # rows; mask any that sneaked into the top-k of sparse corpora
-        # (both vals AND idx — a leaked pad index >= n would crash every
-        # downstream is_core[dst]-style lookup)
-        bad = idx >= n
-        vals[bad] = -np.inf
-        idx[bad] = -1
         take = len(block) - bpad
         sims_out[lo:lo + take] = vals[:take]
         idx_out[lo:lo + take] = idx[:take]
@@ -139,9 +139,10 @@ def knn_graph_sharded(
     takes a local top-k, then an ``all_gather`` over ICI merges the
     (n_dev, B, k) partials into the exact global top-k — per-block HBM
     traffic is one read of each device's shard, and nothing corpus-sized
-    crosses the interconnect. Results are bit-comparable to knn_graph
-    (scores exact; index ties may break differently across shard
-    boundaries).
+    crosses the interconnect. Pad rows are masked to -inf INSIDE the
+    program (both paths), so scores match knn_graph exactly including
+    -inf placement; only index TIES may break differently across shard
+    boundaries.
     """
     import jax
     import jax.numpy as jnp
@@ -155,6 +156,13 @@ def knn_graph_sharded(
 
     if mesh is None:
         n_dev = n_shards or len(jax.devices())
+        avail = len(jax.devices())
+        if n_dev > avail:
+            logger.warning(
+                "knn_graph_sharded: %d shards requested but only %d "
+                "devices available — building a %d-device mesh (per-device "
+                "HBM load is larger than requested)", n_dev, avail, avail)
+            n_dev = avail
         mesh = Mesh(np.array(jax.devices()[:n_dev]), (axis,))
     n_dev = mesh.shape[axis]
     emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
@@ -166,18 +174,24 @@ def knn_graph_sharded(
         jnp.asarray(emb_p), NamedSharding(mesh, P(axis, None)))
 
     def body(emb_l, block):
-        d_idx = jax.lax.axis_index(axis)
+        d_idx = jax.lax.axis_index(axis).astype(jnp.int32)
         sims = jnp.dot(block, emb_l.T,
                        preferred_element_type=jnp.float32)  # (B, per)
+        # mask pad ROWS of the last shard in-program (same rationale as
+        # _knn_block: a pad's raw 0.0 would displace real negative-sim
+        # neighbors, breaking exact parity with the single-chip graph)
+        gcol = d_idx * per + jnp.arange(per, dtype=jnp.int32)
+        sims = jnp.where(gcol[None, :] < n, sims, -jnp.inf)
         v, i = jax.lax.top_k(sims, min(k_eff, per))
-        gi = i.astype(jnp.int32) + d_idx.astype(jnp.int32) * per
+        gi = i.astype(jnp.int32) + d_idx * per
         av = jax.lax.all_gather(v, axis)   # (n_dev, B, k)
         ai = jax.lax.all_gather(gi, axis)
         b = block.shape[0]
         av = jnp.moveaxis(av, 0, 1).reshape(b, -1)
         ai = jnp.moveaxis(ai, 0, 1).reshape(b, -1)
         vv, pos = jax.lax.top_k(av, k_eff)
-        return vv, jnp.take_along_axis(ai, pos, axis=1)
+        ii = jnp.take_along_axis(ai, pos, axis=1)
+        return vv, jnp.where(jnp.isfinite(vv), ii, -1)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
@@ -194,9 +208,6 @@ def knn_graph_sharded(
             block = np.pad(block, [(0, bpad), (0, 0)])
         vals, idx = fn(emb_sh, jnp.asarray(block))
         vals, idx = np.array(vals), np.array(idx)
-        bad = idx >= n  # zero-vector padding rows on the last shard
-        vals[bad] = -np.inf
-        idx[bad] = -1
         take = len(block) - bpad
         sims_out[lo:lo + take] = vals[:take]
         idx_out[lo:lo + take] = idx[:take]
@@ -273,6 +284,12 @@ def density_cluster(
     sims = sims[keep].reshape(n, k_graph - 1)
     idx = idx[keep].reshape(n, k_graph - 1)
 
+    if sims.shape[1] == 0:
+        # a 1-row corpus has no neighbors after the self-strip: trivially
+        # all noise (HDBSCAN labels singletons -1 too)
+        return np.full(n, -1, np.int32), {
+            "n_clusters": 0, "noise": n, "eps": 0.0, "core_points": 0}
+
     ms = min(min_samples, sims.shape[1])
     core_sim = sims[:, ms - 1]  # sim to the min_samples-th neighbor
     core_dist = 1.0 - core_sim
@@ -282,8 +299,13 @@ def density_cluster(
         # HDBSCAN never picks a global eps; a quantile knob (default 0.60:
         # "the densest 60% of points are core") is the closest single-scan
         # approximation and keeps the knob unitless across corpora.
-        eps = float(np.quantile(core_dist[np.isfinite(core_dist)],
-                                eps_quantile))
+        finite = core_dist[np.isfinite(core_dist)]
+        if len(finite) == 0:
+            # every row has fewer than min_samples real neighbors (tiny
+            # corpus): no density structure to find — all noise
+            return np.full(n, -1, np.int32), {
+                "n_clusters": 0, "noise": n, "eps": 0.0, "core_points": 0}
+        eps = float(np.quantile(finite, eps_quantile))
     is_core = core_dist <= eps
 
     # mutual-core edges within eps: a -> b with b in kNN(a), both core,

@@ -415,11 +415,15 @@ def label_topics(
             meta = parse_topic_json(raw)
             if pacing_s:
                 time.sleep(pacing_s)
-        # transient failures must NOT poison the resume cache: a cached
-        # "retry_exhausted"/"char_budget" entry would pin the topic at
-        # Misc forever even after the backend recovers / the budget is
-        # raised. They still flow to the caller for this run.
-        if meta.get("rationale") not in ("retry_exhausted", "char_budget"):
+        # non-answers must NOT poison the resume cache: a cached
+        # retry_exhausted/char_budget entry would pin the topic at Misc
+        # after the backend recovers / the budget is raised; a cached
+        # dry_run placeholder would survive into runs WITH a real key; a
+        # parse_fallback deserves a fresh attempt next run. They still
+        # flow to the caller for this run.
+        if meta.get("rationale") not in (
+                "retry_exhausted", "char_budget", "dry_run",
+                "parse_fallback"):
             cache[key] = meta
         out[tid] = dict(meta)
         processed += 1

@@ -125,6 +125,37 @@ class TestDensityCluster:
                                        min_cluster_size=2)
         assert labels.shape == (24,)
 
+    def test_too_few_neighbors_is_all_noise_not_a_crash(self):
+        """Regression (self-review r4, round 2): when every row has fewer
+        than min_samples real neighbors (tiny corpus), core distances are
+        all non-finite and the eps quantile used to crash on an empty
+        array — the corpus is trivially all noise instead."""
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((8, 384)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        labels, info = density_cluster(emb, min_samples=10)
+        assert (labels == -1).all()
+        assert info["n_clusters"] == 0 and info["noise"] == 8
+
+    def test_single_row_corpus(self):
+        """Regression (self-review r4, round 2): a 1-row corpus has width-0
+        neighbor rows after the self-strip — all noise, not an IndexError."""
+        labels, info = density_cluster(np.ones((1, 8), np.float32))
+        assert labels.tolist() == [-1]
+        assert info["n_clusters"] == 0
+
+    def test_negative_sim_neighbors_stay_real(self):
+        """Regression (self-review r4, round 2 root cause): zero-vector pad
+        COLUMNS score sim 0.0 and used to displace real negative-sim
+        neighbors from the device top-k; pads are now masked in-program, so
+        every returned slot holds a real neighbor whenever one exists."""
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((20, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        sims, idx = knn_graph(emb, k=19, batch_rows=8, col_chunk=16)
+        assert np.isfinite(sims).all()  # 19 real neighbors always exist
+        assert (idx >= 0).all()
+
     def test_many_exact_duplicates(self):
         """Regression (self-review r4): > k_graph identical rows (repeated
         review texts) can exclude a row's SELF from its own top-k via the
@@ -199,6 +230,23 @@ class TestShardedKnn:
         full = emb @ emb.T
         for r in range(len(emb)):
             np.testing.assert_allclose(full[r, i2[r]], s1[r], atol=1e-5)
+
+    def test_parity_with_negative_sim_tails(self):
+        """Regression (self-review r4, round 2): the two paths pad the
+        corpus DIFFERENTLY (col_chunk vs per-shard), so any pad leakage
+        into the top-k breaks parity exactly where neighbors have negative
+        sims — the repro shape that failed before the in-program masks."""
+        import jax
+
+        from review_recommender_tpu.topics.density import knn_graph_sharded
+
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal((20, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        s1, _ = knn_graph(emb, k=19, batch_rows=8, col_chunk=16)
+        n_dev = min(8, len(jax.devices()))
+        s2, _ = knn_graph_sharded(emb, k=19, n_shards=n_dev, batch_rows=8)
+        np.testing.assert_allclose(s2, s1, atol=1e-5)
 
     def test_density_cluster_over_mesh_matches(self):
         import jax
