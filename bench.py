@@ -1319,11 +1319,12 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
 
     @_guard("fused stage-A kernel",
             os.getenv("BENCH_STAGEA", "1") == "1" and on_tpu,
-            # 358 s COLD; ~90-150 s with the persistent compile cache
-            # warm (the driver run follows validation runs). If it
-            # overruns, the watchdog truncates only this last section
-            # after the headline is already out.
-            est_s=150)
+            # 360-660 s: the Mosaic kernel compiles do NOT hit the
+            # persistent XLA cache, so every run pays them. Honest
+            # estimate = the section is skipped when the other tails left
+            # less than this; an overrun only truncates this final
+            # section after the headline is already out.
+            est_s=400)
     def _():
         import jax.numpy as jnp
 
