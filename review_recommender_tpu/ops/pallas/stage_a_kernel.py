@@ -24,16 +24,19 @@ per-lane scalar extracts with the same constraint. The gather belongs in
 XLA, where a 150-row take is free. (Interpret-mode worked; compiled did
 not — kept here as documentation so the next round doesn't re-walk it.)
 
-MEASURED RESULT (compiled, v5e via tunnel, N=200k, batch=32, pool=150,
-bench.py BENCH_STAGEA, two runs): kernel 11.5 vs XLA 10.3 ms (0.9x) and
-8.2 vs 8.9 ms (1.09x) — parity within box noise; the M=16 rounds of
-(max, argmax, mask) over each resident (2048, 32) tile are VPU-serial and
-give back roughly what skipping lax.top_k saves. The clear winner is pure
-XLA: ops/dense.py:striped_topk (stripe-max + top-k over stripe maxima)
-cuts the whole fused-query program from 4.5 ms to 2.5 ms per 32-query
-batch (chained-program measurement) with no Pallas at all — that is the
-production path (DENSE_POOL_MODE=striped). This kernel is kept as measured
-evidence and a baseline for future Mosaic work.
+MEASURED RESULT — REVISED in round 4: the early "parity" readings (11.5
+vs 10.3 ms, 8.2 vs 8.9 ms) were a TIMING ARTIFACT of chaining 20 separate
+dispatches, each inheriting ~1.4 ms of tunnel RPC. With the honest
+in-program chain (dynamic-trip fori_loop + pair medians, bench._chain_ms)
+the kernel measures **1.57 ms vs 7.27 ms XLA (4.64x, pool recall 1.0)**
+at N=200k batch=32 against the matmul + global-top_k + gather stage-A
+formulation. It still does NOT serve production: the engine's pure-XLA
+fused score+pool scan (ops/dense.py:dense_striped_topk_scan) does the
+pool in ~0.27 ms per 128-QUERY batch (~2 us/query vs this kernel's
+~49 us/query at batch 32) because the scan shares one corpus read across
+the whole batch while this kernel's per-tile top-M rounds scale with B.
+Kept as measured evidence: Pallas beats XLA's naive stage-A soundly, and
+the batch-amortized XLA scan beats both.
 
 APPROXIMATION CONTRACT: the global top-pool is exact only if no single tile
 contains more than M of the true top-pool rows. For pool=150 over randomly
