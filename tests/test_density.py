@@ -248,6 +248,22 @@ class TestShardedKnn:
         s2, _ = knn_graph_sharded(emb, k=19, n_shards=n_dev, batch_rows=8)
         np.testing.assert_allclose(s2, s1, atol=1e-5)
 
+    def test_more_shards_than_rows(self):
+        """Degenerate scale: n=3 rows over an 8-device mesh (per-shard=1,
+        5 pad rows) must still match the single-chip graph exactly."""
+        import jax
+
+        from review_recommender_tpu.topics.density import knn_graph_sharded
+
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((3, 8)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        s1, _ = knn_graph(emb, k=5)  # k > n clamps to n
+        n_dev = min(8, len(jax.devices()))
+        s2, _ = knn_graph_sharded(emb, k=5, n_shards=n_dev)
+        assert s1.shape == s2.shape == (3, 3)
+        np.testing.assert_allclose(s2, s1, atol=1e-5)
+
     def test_density_cluster_over_mesh_matches(self):
         import jax
 
