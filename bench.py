@@ -755,7 +755,7 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         })
 
     @_guard("headline program decomposition",
-            os.getenv("BENCH_DECOMP", "1") == "1", est_s=90)
+            os.getenv("BENCH_DECOMP", "1") == "1", est_s=120)
     def _():
         import jax.numpy as jnp
 
@@ -788,6 +788,9 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
 
         prog_ms = _chain_ms(prog_step, qp0)
         engine_qps = b / ((prog_ms + feat_ms) / 1e3)
+        # single-query program time: the engine-side p50 a LOCAL chip
+        # would serve (this box's observed p50 is the ~28 ms tunnel sync)
+        single_ms = _chain_ms(prog_step, qp0[:1])
         head = _H.get("head_qps", 0.0)
         emit({
             "tail_metric": (f"headline decomposition, batch={b}: full "
@@ -796,6 +799,7 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             "program_ms": round(prog_ms, 3),
             "host_featurize_ms": round(feat_ms, 3),
             "engine_side_qps": round(engine_qps, 1),
+            "single_query_program_ms": round(single_ms, 3),
             "observed_headline_qps": round(head, 1),
             "tunnel_overhead_pct": round(
                 100.0 * max(0.0, 1.0 - head / engine_qps), 1)
