@@ -51,7 +51,12 @@ def run_import_tests() -> int:
     import review_recommender_tpu.evals  # noqa: F401
     import review_recommender_tpu.index.build  # noqa: F401
     import review_recommender_tpu.models  # noqa: F401
+    import review_recommender_tpu.parallel.sharded  # noqa: F401
     import review_recommender_tpu.serve.cli  # noqa: F401
+    import review_recommender_tpu.topics  # noqa: F401
+    import review_recommender_tpu.topics.density  # noqa: F401
+    import review_recommender_tpu.topics.llm_clients  # noqa: F401
+    import review_recommender_tpu.train  # noqa: F401
 
     return 6
 
