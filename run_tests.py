@@ -58,7 +58,7 @@ def run_import_tests() -> int:
     import review_recommender_tpu.topics.llm_clients  # noqa: F401
     import review_recommender_tpu.train  # noqa: F401
 
-    return 6
+    return 11
 
 
 def run_data_validation() -> int:
