@@ -25,9 +25,26 @@ def dcg_at_k(relevances: Sequence[float], k: int) -> float:
     return float(np.sum(rel / discounts))
 
 
-def ndcg_at_k(relevances: Sequence[float], k: int) -> float:
-    """Normalized DCG: DCG@k / ideal-DCG@k (0 when there is no relevance)."""
-    ideal = dcg_at_k(sorted(relevances, reverse=True), k)
+def ndcg_at_k(
+    relevances: Sequence[float],
+    k: int,
+    ideal_relevances: Sequence[float] | None = None,
+) -> float:
+    """Normalized DCG: DCG@k / ideal-DCG@k (0 when there is no relevance).
+
+    When `ideal_relevances` is None the ideal ranking is derived from the
+    retrieved relevances themselves (the reference UI's inline semantics,
+    app/app_product_search.py:449-451). Passing the full judgment set's
+    relevances matches the reference's IRMetrics semantics
+    (evals/performance_metrics.py:186-189), where the ideal DCG counts
+    relevant items NOT retrieved — the standard definition, and the one the
+    README table is produced with. IRMetrics below uses the latter.
+    """
+    if ideal_relevances is None:
+        ideal_relevances = sorted(relevances, reverse=True)
+    else:
+        ideal_relevances = sorted(ideal_relevances, reverse=True)
+    ideal = dcg_at_k(ideal_relevances, k)
     if ideal <= 0.0:
         return 0.0
     return dcg_at_k(relevances, k) / ideal
@@ -70,9 +87,15 @@ class IRMetrics:
         self, query_id: str, ranked_ids: Sequence[str], relevant: set
     ) -> Dict[str, float]:
         rels = [1.0 if rid in relevant else 0.0 for rid in ranked_ids]
+        # Ideal DCG from the FULL relevant set (reference IRMetrics
+        # semantics, performance_metrics.py:186-189): a relevant item the
+        # engine failed to retrieve still counts against the ideal, so nDCG
+        # penalizes missed recall — unlike the inline-UI variant that
+        # normalizes only over what was retrieved.
+        ideal = [1.0] * len(relevant)
         row: Dict[str, float] = {"query_id": query_id}
         for k in self.k_values:
-            row[f"ndcg@{k}"] = ndcg_at_k(rels, k)
+            row[f"ndcg@{k}"] = ndcg_at_k(rels, k, ideal_relevances=ideal)
             row[f"recall@{k}"] = recall_at_k(ranked_ids, relevant, k)
             row[f"precision@{k}"] = precision_at_k(ranked_ids, relevant, k)
         row["mrr"] = mrr_score(ranked_ids, relevant)

@@ -1,0 +1,573 @@
+"""Reference-in-the-loop parity gate (VERDICT r4, next-round item 1).
+
+Unlike tests/oracle.py — a hand-written reimplementation of the reference's
+math — these tests import and execute the ACTUAL mounted reference code at
+/root/reference as the parity target:
+
+  (a) /root/reference/utils.py and
+      /root/reference/evals/performance_metrics.py are imported directly and
+      fuzz-compared against the repo equivalents (utils/text.py,
+      utils/numerics.py, evals/metrics.py);
+  (b) the reference's real run_search (app/app_product_search.py:245-317) is
+      executed in-process with a stub `streamlit` module and injected
+      encoders/artifact loaders (the reference's own mocking pattern,
+      /root/reference/tests/test_integration.py:31-54), and its full
+      (DataFrame, debug) output is compared against SearchEngine.run_search
+      on a shared corpus across the reference's four benchmark configs.
+
+If the oracle transcription ever diverged from the reference, the engine and
+oracle would share the bug and tests/test_engine_parity.py would pass anyway;
+this file closes that loophole. Skipped when /root/reference is not mounted.
+
+Known substitution (environment): rank_bm25 is not installed here, so the
+BM25 scorer object injected into the reference's `_bm25_loader` blob is
+tests.oracle.BM25OkapiOracle (same `get_scores(tokens)` surface and the
+library's documented parameterization). Everything downstream of
+`get_scores` — candidate dict-mapping, minmax, fusion, gating, trust,
+sorting (app/app_product_search.py:201-317) — is the real reference code.
+When rank_bm25 IS installed the real library is used instead.
+"""
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import logging
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "utils.py").exists(), reason="reference tree not mounted"
+)
+
+
+def _load_ref_module(name: str, rel_path: str):
+    spec = importlib.util.spec_from_file_location(name, REF / rel_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    return _load_ref_module("ref_utils", "utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_metrics():
+    return _load_ref_module("ref_perf_metrics", "evals/performance_metrics.py")
+
+
+# --------------------------------------------------------------------------
+# (a) Direct fuzz parity against the real reference functions
+# --------------------------------------------------------------------------
+
+# Vocabulary that exercises every branch of the reference tokenizer/gates:
+# stopwords, synonym heads, color synonyms (incl. multi-word "noise
+# cancelling" which only matches as a substring, never as a token),
+# apostrophes, digits, short (<4) and long tokens, punctuation.
+FUZZ_VOCAB = (
+    "the and with for yellow mustard gold red navy blue sock socks kitten "
+    "cats dog headphone headphones anc noise cancelling noise-canceling "
+    "wireless bluetooth keyboard design pattern don't it's 4k 100 abc cat "
+    "run runs running comfortable waterproof a on in gray grey charcoal"
+).split()
+
+
+def _random_text(rng, lo=0, hi=24):
+    n = int(rng.integers(lo, hi))
+    return " ".join(rng.choice(FUZZ_VOCAB, size=n)) if n else ""
+
+
+class TestUtilsParity:
+    def test_constant_tables_match(self, ref_utils):
+        from review_recommender_tpu.utils import text as t
+
+        assert t.TOKEN_RE.pattern == ref_utils.TOKEN_RE.pattern
+        assert t.STOP_WORDS == ref_utils.STOP_WORDS
+        assert t.SYNONYMS == ref_utils.SYNONYMS
+        assert t.COLORS == ref_utils.COLORS
+
+    def test_l2_normalize_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.numerics import l2_normalize
+
+        rng = np.random.default_rng(0)
+        cases = [rng.standard_normal((8, 16)) * 10 for _ in range(5)]
+        cases.append(np.zeros((3, 4)))  # zero rows hit the eps floor
+        cases.append(rng.standard_normal((1, 384)) * 1e-14)
+        for x in cases:
+            ref = ref_utils.l2_normalize(x.astype(np.float32))
+            got = np.asarray(l2_normalize(x.astype(np.float32)))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+    def test_minmax_normalize_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.numerics import minmax_normalize
+
+        rng = np.random.default_rng(1)
+        cases = [rng.standard_normal(int(rng.integers(1, 50))) * 7
+                 for _ in range(8)]
+        cases.append(np.full(5, 3.25))          # degenerate: constant
+        cases.append(np.array([1.0, 1.0 + 5e-13]))  # sub-epsilon range
+        cases.append(np.array([-4.0, 0.0, 8.0]))
+        cases.append(np.array([], dtype=np.float32))
+        for x in cases:
+            ref = ref_utils.minmax_normalize(x)
+            got = np.asarray(minmax_normalize(np.asarray(x)))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    def test_tokenize_query_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.text import tokenize_query
+
+        rng = np.random.default_rng(2)
+        queries = [_random_text(rng) for _ in range(50)]
+        queries += ["", "  ", "THE AND", "Don't stop 4K! (gray/grey)",
+                    "noise-cancelling wireless headphones"]
+        for q in queries:
+            assert tokenize_query(q) == ref_utils.tokenize_query(q), q
+
+    def test_build_gate_groups_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.text import build_gate_groups
+
+        rng = np.random.default_rng(3)
+        queries = [_random_text(rng) for _ in range(60)]
+        queries += [
+            "yellow kitten socks",                 # color + synonyms
+            "gold golden mustard lemon",           # many hits in one group
+            "anc headset",                         # 'anc' is in noise syns
+            "tan shoes",                           # 'tan' -> brown via substring
+            "a b c d e f g h i j k l m n",         # all short tokens
+            "alpha beta gamma delta epsilon zeta eta theta",  # >6 groups
+        ]
+        for q in queries:
+            assert build_gate_groups(q) == ref_utils.build_gate_groups(q), q
+
+    def test_gate_factor_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.text import (
+            build_gate_groups,
+            calculate_gate_factor,
+        )
+
+        rng = np.random.default_rng(4)
+        for _ in range(40):
+            q = _random_text(rng, 1, 8)
+            text = _random_text(rng, 0, 60)
+            penalty = float(rng.uniform(0.1, 1.0))
+            groups = build_gate_groups(q)
+            got = calculate_gate_factor(text, groups, penalty)
+            ref = ref_utils.calculate_gate_factor(text, groups, penalty)
+            assert got[1:] == ref[1:]
+            assert got[0] == pytest.approx(ref[0], rel=1e-9)
+
+    def test_bayesian_prior_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.numerics import bayesian_prior
+
+        rng = np.random.default_rng(5)
+        for _ in range(10):
+            n = rng.integers(0, 500, size=30).astype(np.float64)
+            avg = rng.uniform(1, 5, size=30)
+            avg[rng.random(30) < 0.1] = np.nan  # exercise nanmean
+            C = float(rng.uniform(1, 50))
+            ref = ref_utils.bayesian_prior(avg, n, prior_strength=C)
+            got = np.asarray(bayesian_prior(avg, n, prior_strength=C))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, equal_nan=True)
+
+    def test_trust_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.numerics import (
+            trust_score_from_reviews,
+        )
+
+        rng = np.random.default_rng(6)
+        for min_reviews, sat in [(8, 50), (0, 80), (1, 1), (25, 100)]:
+            n = rng.integers(0, 300, size=64).astype(np.float64)
+            ref = ref_utils.trust_score_from_reviews(n, min_reviews, sat)
+            got = np.asarray(trust_score_from_reviews(n, min_reviews, sat))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+    def test_cosine_search_fuzz(self, ref_utils):
+        from review_recommender_tpu.utils.numerics import (
+            cosine_similarity_search,
+        )
+
+        rng = np.random.default_rng(7)
+        for n, d, k in [(64, 32, 10), (100, 16, 100), (5, 8, 50)]:
+            V = rng.standard_normal((n, d)).astype(np.float32)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            q = rng.standard_normal(d).astype(np.float32)
+            q /= np.linalg.norm(q)
+            ridx, rsc = ref_utils.cosine_similarity_search(q, V, k)
+            gidx, gsc = cosine_similarity_search(q, V, k)
+            np.testing.assert_allclose(
+                np.asarray(gsc), rsc, rtol=1e-4, atol=1e-6
+            )
+            # index parity modulo float near-ties
+            for a, b, s_a, s_b in zip(
+                np.asarray(gidx), ridx, np.asarray(gsc), rsc
+            ):
+                assert a == b or abs(s_a - s_b) < 1e-5
+
+
+class TestMetricsParity:
+    def _random_eval_case(self, rng):
+        universe = [f"I{i}" for i in range(30)]
+        retrieved = list(
+            rng.choice(universe, size=int(rng.integers(1, 25)), replace=False)
+        )
+        relevant = set(
+            rng.choice(universe, size=int(rng.integers(1, 6)), replace=False)
+        )
+        return retrieved, relevant
+
+    def test_dcg_fuzz(self, ref_metrics):
+        from review_recommender_tpu.evals.metrics import dcg_at_k
+
+        rng = np.random.default_rng(8)
+        for _ in range(20):
+            rels = list(rng.integers(0, 4, size=int(rng.integers(0, 15))))
+            k = int(rng.integers(1, 20))
+            assert dcg_at_k(rels, k) == pytest.approx(
+                ref_metrics.dcg_at_k(rels, k)
+            )
+
+    def test_irmetrics_evaluate_query_fuzz(self, ref_metrics):
+        """Per-query metric dict vs the real reference IRMetrics — this is
+        the comparison that caught the ideal-DCG divergence (r5): the
+        reference normalizes nDCG by the ideal over the FULL relevant set
+        (performance_metrics.py:186-189), not over the retrieved list."""
+        from review_recommender_tpu.evals.metrics import IRMetrics
+
+        rng = np.random.default_rng(9)
+        for i in range(30):
+            retrieved, relevant = self._random_eval_case(rng)
+            ref_ir = ref_metrics.IRMetrics()
+            ref_row = ref_ir.evaluate_query(f"q{i}", retrieved, relevant)
+            got_ir = IRMetrics(k_values=(5, 10, 20))
+            got_row = got_ir.evaluate_query(f"q{i}", retrieved, relevant)
+            for ref_key, got_key in [
+                ("ndcg@5", "ndcg@5"), ("ndcg@10", "ndcg@10"),
+                ("mrr", "mrr"), ("recall@10", "recall@10"),
+                ("recall@20", "recall@20"), ("precision@5", "precision@5"),
+                ("precision@10", "precision@10"),
+            ]:
+                assert got_row[got_key] == pytest.approx(
+                    ref_row[ref_key]
+                ), (ref_key, retrieved, relevant)
+
+    def test_aggregate_fuzz(self, ref_metrics):
+        from review_recommender_tpu.evals.metrics import IRMetrics
+
+        rng = np.random.default_rng(10)
+        ref_ir = ref_metrics.IRMetrics()
+        got_ir = IRMetrics(k_values=(5, 10, 20))
+        for i in range(12):
+            retrieved, relevant = self._random_eval_case(rng)
+            ref_ir.evaluate_query(f"q{i}", retrieved, relevant)
+            got_ir.evaluate_query(f"q{i}", retrieved, relevant)
+        ref_agg = ref_ir.aggregate_metrics()
+        got_agg = got_ir.aggregate_metrics()
+        for key in ("ndcg@10", "mrr", "recall@10", "recall@20",
+                    "precision@10"):
+            assert got_agg[key] == pytest.approx(ref_agg[key]), key
+
+    def test_standalone_list_metrics_fuzz(self, ref_metrics):
+        from review_recommender_tpu.evals.metrics import (
+            mrr_score,
+            precision_at_k,
+            recall_at_k,
+        )
+
+        rng = np.random.default_rng(11)
+        cases = [self._random_eval_case(rng) for _ in range(10)]
+        ranked = [c[0] for c in cases]
+        rel = [c[1] for c in cases]
+        for k in (5, 10, 20):
+            assert np.mean(
+                [recall_at_k(r, s, k) for r, s in cases]
+            ) == pytest.approx(ref_metrics.recall_at_k(ranked, rel, k))
+            assert np.mean(
+                [precision_at_k(r, s, k) for r, s in cases]
+            ) == pytest.approx(ref_metrics.precision_at_k(ranked, rel, k))
+        assert np.mean(
+            [mrr_score(r, s) for r, s in cases]
+        ) == pytest.approx(ref_metrics.mrr_score(ranked, rel))
+
+
+# --------------------------------------------------------------------------
+# (b) The reference's real run_search vs SearchEngine on a shared corpus
+# --------------------------------------------------------------------------
+
+
+class _StSurface:
+    """Context-manager/widget object returned by st.tabs()/st.columns()."""
+
+    def __init__(self, st_mod):
+        object.__setattr__(self, "_st", st_mod)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_st"), name)
+
+
+def _make_streamlit_stub() -> types.ModuleType:
+    """A minimal streamlit that lets app/app_product_search.py import and
+    run its module-level UI code inertly: widgets return their defaults,
+    button() -> False and file_uploader() -> None so no search or eval loop
+    fires at import time."""
+    st = types.ModuleType("streamlit")
+
+    def _cache(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+
+        def deco(fn):
+            return fn
+
+        return deco
+
+    st.cache_resource = _cache
+    st.cache_data = _cache
+    st.query_params = {}
+
+    def _noop(*a, **k):
+        return None
+
+    for name in ("set_page_config", "markdown", "header", "subheader",
+                 "caption", "write", "error", "warning", "info", "metric"):
+        setattr(st, name, _noop)
+
+    st.tabs = lambda labels: [_StSurface(st) for _ in labels]
+    st.columns = lambda spec: [
+        _StSurface(st)
+        for _ in range(spec if isinstance(spec, int) else len(spec))
+    ]
+    st.expander = lambda *a, **k: _StSurface(st)
+    st.spinner = lambda *a, **k: _StSurface(st)
+    st.button = lambda *a, **k: False
+    st.checkbox = lambda label, value=False, **k: value
+    st.file_uploader = lambda *a, **k: None
+    st.text_input = lambda label, value="", **k: value
+
+    def _slider(label, mn=None, mx=None, value=None, step=None, **k):
+        v = k.get("value", value)
+        return v if v is not None else mn
+
+    st.slider = _slider
+    st.number_input = _slider
+    st.select_slider = lambda label, options=None, value=None, **k: (
+        value if value is not None else (options[0] if options else None)
+    )
+
+    def _stop(*a, **k):
+        raise RuntimeError("st.stop() called in stubbed reference app")
+
+    st.stop = _stop
+    return st
+
+
+@pytest.fixture(scope="module")
+def ref_app(tmp_path_factory):
+    """Import the REAL reference app module with a stub streamlit."""
+    tmp = tmp_path_factory.mktemp("ref_logs")
+    saved_modules = {
+        name: sys.modules.get(name) for name in ("streamlit", "config")
+    }
+    saved_log_file = os.environ.get("LOG_FILE")
+    os.environ["LOG_FILE"] = str(tmp / "ref_app.log")
+    root_handlers_before = list(logging.getLogger().handlers)
+    sys.modules["streamlit"] = _make_streamlit_stub()
+    sys.modules.pop("config", None)
+    sys.path.insert(0, str(REF))
+    importlib.invalidate_caches()
+    try:
+        # NOTE: can't `import app.app_product_search` — the reference ships
+        # BOTH a top-level app.py (HF Spaces entry) and an app/ directory
+        # without __init__.py, so `app` resolves to the module. Load the
+        # engine file directly; `from config import config` inside it still
+        # resolves to /root/reference/config.py via the sys.path insert.
+        mod = _load_ref_module(
+            "ref_app_product_search", "app/app_product_search.py"
+        )
+        yield mod
+    finally:
+        try:
+            sys.path.remove(str(REF))
+        except ValueError:
+            pass
+        for name, prev in saved_modules.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
+        if saved_log_file is None:
+            os.environ.pop("LOG_FILE", None)
+        else:
+            os.environ["LOG_FILE"] = saved_log_file
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            if h not in root_handlers_before:
+                root.removeHandler(h)
+                h.close()
+
+
+def _ce_score_fn(texts):
+    """Deterministic fake cross-encoder score, identical on both sides
+    (matches tests/test_engine_parity.py's fake_ce)."""
+    return np.array([len(t) % 97 / 97.0 for t in texts], np.float32)
+
+
+@pytest.fixture(scope="module")
+def shared_corpus():
+    from tests.test_engine_parity import make_corpus
+
+    return make_corpus(n=64, dim=64, seed=0)
+
+
+@pytest.fixture(scope="module")
+def qvec_book(shared_corpus):
+    """query -> deterministic normalized query vector (both sides use it)."""
+    from tests.test_engine_parity import QUERIES
+
+    dim = shared_corpus[1].shape[1]
+    book = {}
+    for q in QUERIES:
+        rng = np.random.default_rng(hash(q) % (2**32))
+        v = rng.standard_normal(dim).astype(np.float32)
+        book[q] = v / np.linalg.norm(v)
+    return book
+
+
+@pytest.fixture(scope="module")
+def wired_ref(ref_app, shared_corpus, qvec_book):
+    """Inject corpus artifacts + deterministic encoders into the real
+    reference module (its own test pattern: test_integration.py:31-54)."""
+    from review_recommender_tpu.utils.text import tokenize_document
+    from tests import oracle
+
+    products, emb, _reviews, _remb = shared_corpus
+    meta = pd.DataFrame(products)
+    Vn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    try:  # pragma: no cover - rank_bm25 not in this image
+        from rank_bm25 import BM25Okapi as _BM25
+    except ImportError:
+        _BM25 = oracle.BM25OkapiOracle
+    blob = {
+        "bm25": _BM25([tokenize_document(p["agg_text"]) for p in products]),
+        "skus": [p["sku"] for p in products],
+    }
+
+    class _Encoder:
+        def encode(self, texts, normalize_embeddings=True):
+            return np.stack([qvec_book[t] for t in texts])
+
+    class _CrossEncoder:
+        def predict(self, pairs, batch_size=64, show_progress_bar=False):
+            return _ce_score_fn([t for (_q, t) in pairs])
+
+    ref_app._product_index = lambda: (meta.copy(), Vn.copy())
+    ref_app._bm25_loader = lambda: blob
+    ref_app._st_encoder = lambda name: _Encoder()
+    ref_app._cross_encoder = lambda name: _CrossEncoder()
+    return ref_app
+
+
+@pytest.fixture(scope="module")
+def our_engine(shared_corpus):
+    from review_recommender_tpu.engine.search import SearchEngine
+    from review_recommender_tpu.index.build import build_bundle_from_products
+
+    products, emb, reviews, remb = shared_corpus
+    bundle = build_bundle_from_products(
+        products, emb, reviews=reviews, review_embeddings=remb,
+        pad_multiple=16, doc_terms_cap=64,
+    )
+    engine = SearchEngine(bundle, emb_dtype="float32", gate_mode="host")
+    engine.cross_encoder = lambda q, texts: _ce_score_fn(texts)
+    return engine
+
+
+def _ref_configs_queries():
+    from tests.test_engine_parity import CONFIGS, QUERIES
+
+    return [(c, q) for c in CONFIGS for q in QUERIES]
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("cfg_name,query", _ref_configs_queries())
+def test_run_search_matches_reference(
+    wired_ref, our_engine, qvec_book, cfg_name, query
+):
+    from tests.test_engine_parity import CONFIGS
+
+    cfg = CONFIGS[cfg_name]
+    ref_df, ref_snips, ref_dbg = wired_ref.run_search(
+        query, use_snips=False, max_scan=0, **cfg
+    )
+    got_df, _snips, got_dbg = our_engine.run_search(
+        query, qvec=qvec_book[query], use_snips=False, **cfg
+    )
+
+    assert ref_snips == {}
+    assert len(got_df) == len(ref_df)
+
+    ref_final = ref_df["_final"].to_numpy()
+    got_final = got_df["_final"].to_numpy()
+    np.testing.assert_allclose(got_final, ref_final, rtol=2e-4, atol=2e-5)
+
+    # ranking parity; allow order swaps only between float near-ties
+    for i, (a, b) in enumerate(
+        zip(got_df["sku"].tolist(), ref_df["sku"].tolist())
+    ):
+        if a != b:
+            assert abs(got_final[i] - ref_final[i]) < 1e-4, (
+                f"rank {i}: {a} vs {b} "
+                f"({got_final[i]} vs {ref_final[i]})"
+            )
+
+    # per-signal parity, aligned by sku (skips swapped near-ties)
+    ref_by_sku = {
+        str(r["sku"]): r for _, r in ref_df.iterrows()
+    }
+    signals = ["_dense", "_bm25", "_rerank", "_prior", "_best", "_trust",
+               "_gate"]
+    for _, row in got_df.iterrows():
+        ref_row = ref_by_sku.get(str(row["sku"]))
+        if ref_row is None:
+            continue  # near-tie swap across the k boundary
+        for sig in signals:
+            assert float(row[sig]) == pytest.approx(
+                float(ref_row[sig]), rel=2e-4, abs=2e-5
+            ), (row["sku"], sig)
+
+    # debug-surface parity
+    assert got_dbg["tokens"] == ref_dbg["tokens"]
+    assert [set(g) for g in got_dbg["groups"]] == [
+        set(g) for g in ref_dbg["groups"]
+    ]
+    assert got_dbg["bm25_active"] is True and ref_dbg["bm25_active"] is True
+
+
+@pytest.mark.integration
+def test_reference_weight_defaults_match(ref_app):
+    """The reference config's default knob surface is our config's."""
+    import importlib as _il
+
+    ref_cfg = _il.import_module("config").config
+    from review_recommender_tpu.config import config as our_cfg
+
+    for attr in ("DEFAULT_K", "DEFAULT_RERANK_K", "DEFAULT_MIN_REVIEWS",
+                 "DEFAULT_W_DENSE", "DEFAULT_W_BM25", "DEFAULT_W_RERANK",
+                 "DEFAULT_W_PRIOR", "DEFAULT_W_BEST", "DEFAULT_GATE_PENALTY",
+                 "DEFAULT_POOL_SIZE", "MAX_REVIEWS_SCAN"):
+        assert getattr(our_cfg, attr) == getattr(ref_cfg, attr), attr
