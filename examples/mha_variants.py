@@ -84,6 +84,15 @@ def _build_variants():
                 ],
                 out_specs=head_spec,
                 compiler_params=compiler_params,
+                # same cost estimate as the production kernel
+                # (attention_kernel.py mha_pallas) so compiler_params is
+                # the ONLY delta vs 'base' (ADVICE r4)
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * b * num_heads * s * s * d,
+                    bytes_accessed=(4 * b * s * hd * q.dtype.itemsize
+                                    + 4 * b * s),
+                    transcendentals=b * num_heads * s * s,
+                ),
             )(key_bias.astype(jnp.float32).reshape(b, 1, s), qh, kh, vh)
             return ctx.transpose(0, 2, 1, 3).reshape(b, s, hd)
 
@@ -184,8 +193,10 @@ def main() -> int:
     print(json.dumps({
         "shape": {"B": ab, "S": as_, "H": heads, "D": hd // heads},
         "best": best,
-        "best_vs_base": round(base / out[best]["median_ms"], 3),
-        "xla_vs_base": round(out["xla"]["median_ms"] / base, 3),
+        # both ratios are base/variant: >1 means the variant beats base
+        # (consistent direction, ADVICE r4)
+        "base_over_best": round(base / out[best]["median_ms"], 3),
+        "base_over_xla": round(base / out["xla"]["median_ms"], 3),
     }, sort_keys=True), flush=True)
     return 0
 
