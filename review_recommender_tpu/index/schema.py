@@ -293,13 +293,17 @@ def enforce_hbm_fit(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
 
 
 def check_hbm_fit(total_bytes: int, n_shards: int = 1,
-                  warn_frac: float = 0.8) -> Dict:
+                  warn_frac: float = 0.8,
+                  limit_bytes: Optional[int] = None) -> Dict:
     """Fit report for a corpus footprint against the backend's per-device
     memory. Sharding divides the row-sharded bytes evenly, so per-device
-    load is total/n_shards. Returns {total_bytes, per_device_bytes,
-    limit_bytes, frac, fits, warn}; callers decide whether to refuse."""
+    load is total/n_shards. `limit_bytes` overrides the backend-reported
+    budget (capacity planning for hardware this process isn't running on,
+    e.g. the v5e-8 table in examples/capacity_table.py). Returns
+    {total_bytes, per_device_bytes, limit_bytes, frac, fits, warn};
+    callers decide whether to refuse."""
     per_dev = int(total_bytes) // max(int(n_shards), 1)
-    limit = device_memory_limit()
+    limit = device_memory_limit() if limit_bytes is None else int(limit_bytes)
     frac = (per_dev / limit) if limit else None
     return {
         "total_bytes": int(total_bytes),
