@@ -165,6 +165,48 @@ def cmd_audit(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_import(args) -> int:
+    """Point a REFERENCE deployment's data dir (local path or fsspec URL,
+    e.g. hf://datasets/<org>/<name>) at this engine: discovers the
+    reference's standard artifact names (config.py PRODUCT_EMB_FILE etc.,
+    mirroring reference config.py:36-39 / app_product_search.py:94-144)
+    and converts them into a versioned index bundle."""
+    from review_recommender_tpu.config import config as c
+    from review_recommender_tpu.data.pipeline import (
+        import_reference_artifacts,
+    )
+    from review_recommender_tpu.index.io import is_remote, join_path
+
+    base = args.data_dir
+
+    def _resolve(name: str, required: bool = False):
+        path = join_path(base, name)
+        if is_remote(path):
+            return path  # existence checked at open time
+        if Path(path).exists():
+            return path
+        if required:
+            raise SystemExit(f"missing required artifact: {path}")
+        return None
+
+    emb = _resolve(c.PRODUCT_EMB_FILE, required=True)
+    meta = _resolve(c.PRODUCT_META_FILE, required=True)
+    bm25 = _resolve(c.BM25_FILE)
+    reviews = _resolve(c.REVIEWS_EMB_FILE) if not args.no_reviews else None
+    bundle = import_reference_artifacts(
+        emb, meta, bm25_pkl=bm25, reviews_parquet=reviews,
+        out_dir=args.out, doc_terms_cap=args.doc_terms_cap,
+    )
+    print(json.dumps({
+        "out": str(args.out),
+        "n_docs": bundle.products.n_docs,
+        "has_bm25_tokens": bm25 is not None,
+        "n_reviews": (bundle.reviews.n_reviews_total
+                      if bundle.reviews is not None else 0),
+    }))
+    return 0
+
+
 def cmd_health(args) -> int:
     import urllib.request
 
@@ -718,6 +760,20 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("audit", help="validate index artifacts")
     a.add_argument("--index-dir", required=True)
     a.set_defaults(fn=cmd_audit)
+
+    imp = sub.add_parser(
+        "import",
+        help="convert a reference deployment's data dir into an index "
+             "bundle (product_emb.npy + product_emb_meta.parquet "
+             "[+ product_bm25.pkl + reviews_with_embeddings.parquet])",
+    )
+    imp.add_argument("--data-dir", required=True,
+                     help="local dir or fsspec URL (hf://datasets/...)")
+    imp.add_argument("--out", required=True, help="bundle output dir")
+    imp.add_argument("--doc-terms-cap", type=int, default=None)
+    imp.add_argument("--no-reviews", action="store_true",
+                     help="skip reviews_with_embeddings.parquet")
+    imp.set_defaults(fn=cmd_import)
 
     h = sub.add_parser("health", help="probe a running server")
     h.add_argument("--url", default=f"http://localhost:{c.APP_PORT}")
