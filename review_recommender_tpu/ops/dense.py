@@ -226,6 +226,66 @@ def dense_striped_topk_scan_int8(
     return top, idx.astype(jnp.int32)
 
 
+def quantize_corpus_int8_global(emb: jax.Array) -> tuple[jax.Array, float]:
+    """Symmetric int8 quantization with ONE corpus-wide scale.
+
+    Coarser than the per-row scheme (rows whose max component is far below
+    the corpus max get fewer effective levels — measured in
+    tests/test_int8.py; on L2-normalized embeddings the max-component
+    spread is small so the cosine error stays ~1e-2 absolute), but it buys
+    a pure-integer scan epilogue: stripe max/argmax carries compare RAW
+    int32 accumulators, deleting the per-slice int32->f32 convert and the
+    per-row scale multiply/read (VERDICT r4 item 6)."""
+    import numpy as np
+
+    emb = np.asarray(emb, dtype=np.float32)
+    scale = max(float(np.abs(emb).max()) / 127.0, 1e-12)
+    q = np.clip(np.rint(emb / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+_INT32_MIN = jnp.int32(-2**31 + 1)
+
+
+def dense_striped_topk_scan_int8_global(
+    emb_qs: jax.Array,  # (s, G, D) int8, ONE shared scale
+    valid_s: jax.Array,  # (s, G) bool
+    qvec: jax.Array,  # (D,) f32
+    pool: int,
+    corpus_scale: jax.Array | float,
+) -> tuple[jax.Array, jax.Array]:
+    """Global-scale int8 fused score+pool scan: per slice ONE int8 MXU
+    matmul and integer max/argmax selects — nothing converts to float
+    until the final `pool` scores are rescaled once. Compare
+    dense_striped_topk_scan_int8 (per-row scales force a float epilogue
+    on every slice); examples/int8_scan_tuning.py measures both."""
+    s, g, _d = emb_qs.shape
+    kk = min(int(pool), g)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qvec)) / 127.0, 1e-12)
+    q_q = jnp.clip(jnp.round(qvec / q_scale), -127, 127).astype(jnp.int8)
+
+    def body(carry, sl):
+        best, best_r, r = carry
+        emb_r, valid_r = sl
+        acc = jnp.dot(q_q, emb_r.T, preferred_element_type=jnp.int32)
+        acc = jnp.where(valid_r, acc, _INT32_MIN)
+        upd = acc > best
+        best = jnp.where(upd, acc, best)
+        best_r = jnp.where(upd, r, best_r)
+        return (best, best_r, r + jnp.int32(1)), None
+
+    init = (jnp.full((g,), _INT32_MIN, jnp.int32),
+            jnp.zeros((g,), jnp.int32), jnp.int32(0))
+    (best, best_r, _), _ = jax.lax.scan(
+        body, init, (emb_qs, valid_s), unroll=True)
+    top, gi = jax.lax.top_k(best, kk)
+    scores = jnp.where(
+        top <= _INT32_MIN, NEG_INF,
+        top.astype(jnp.float32) * (jnp.float32(corpus_scale) * q_scale))
+    idx = jnp.take(best_r, gi) * g + gi
+    return scores, idx.astype(jnp.int32)
+
+
 def dense_topk_batched(
     emb: jax.Array, qvecs: jax.Array, valid: jax.Array, pool: int
 ) -> tuple[jax.Array, jax.Array]:

@@ -15,6 +15,70 @@ from review_recommender_tpu.ops.fusion import FusionWeights
 from tests.test_engine_parity import make_corpus
 
 
+class TestGlobalScaleScan:
+    """Global-scale int8 fused scan (integer carries, one final rescale)."""
+
+    def test_matches_per_row_scan_ranking(self):
+        from review_recommender_tpu.ops.dense import (
+            dense_striped_topk_scan_int8_global,
+            quantize_corpus_int8_global,
+            slice_corpus_for_striped_int8,
+        )
+
+        rng = np.random.default_rng(5)
+        n, d, pool, stripes = 512, 32, 50, 64
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        valid = np.ones(n, bool)
+        valid[-7:] = False
+        q_glob, g_scale = quantize_corpus_int8_global(emb)
+        emb_gs, _z, valid_gs = slice_corpus_for_striped_int8(
+            jnp.asarray(q_glob), jnp.zeros(n, jnp.float32),
+            jnp.asarray(valid), stripes)
+        qvec = rng.standard_normal(d).astype(np.float32)
+        qvec /= np.linalg.norm(qvec)
+        scores, idx = dense_striped_topk_scan_int8_global(
+            emb_gs, valid_gs, jnp.asarray(qvec), pool, g_scale)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        # invalid rows never surface
+        assert not (set(idx.tolist()) & set(range(n - 7, n)))
+        # pool overlap vs the per-row int8 striped scan at the SAME
+        # geometry — isolates quantization-grid effects from the striped
+        # pool's structural recall (one winner per stripe; at G=64 that
+        # bound dominates and applies to both variants equally)
+        from review_recommender_tpu.ops.dense import (
+            dense_striped_topk_scan_int8,
+            quantize_corpus_int8,
+        )
+
+        q_row, row_scale = quantize_corpus_int8(emb)
+        emb_qs, scale_s, valid_qs = slice_corpus_for_striped_int8(
+            jnp.asarray(q_row), jnp.asarray(row_scale),
+            jnp.asarray(valid), stripes)
+        _s_row, idx_row = dense_striped_topk_scan_int8(
+            emb_qs, scale_s, valid_qs, jnp.asarray(qvec), pool)
+        overlap = len(set(idx.tolist())
+                      & set(np.asarray(idx_row).tolist())) / pool
+        assert overlap >= 0.9
+        # scores match the true cosine within the global-grid error
+        sims = emb @ qvec
+        for s, i in zip(scores, idx):
+            assert abs(s - sims[i]) < 0.03
+
+    def test_global_quantization_error_bounded(self):
+        from review_recommender_tpu.ops.dense import (
+            quantize_corpus_int8_global,
+        )
+
+        rng = np.random.default_rng(6)
+        emb = rng.standard_normal((256, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q, s = quantize_corpus_int8_global(emb)
+        assert q.dtype == np.int8 and np.isscalar(s)
+        recon = q.astype(np.float32) * s
+        assert np.abs(recon - emb).max() <= s / 2 + 1e-7
+
+
 class TestQuantization:
     def test_roundtrip_error_small(self):
         rng = np.random.default_rng(0)
