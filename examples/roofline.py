@@ -214,6 +214,34 @@ def main(argv=None) -> int:
              "negative result, ROADMAP.md), so int8's win is HBM "
              "footprint (2x corpus per chip), not latency"))
 
+    # ---- 2b) int8 scan, GLOBAL scale (integer-carry epilogue) ----------
+    from review_recommender_tpu.ops.dense import (
+        dense_striped_topk_scan_int8_global,
+        quantize_corpus_int8_global,
+    )
+
+    q_glob, g_scale = quantize_corpus_int8_global(
+        np.asarray(mk_emb(jnp.float32)))
+    emb_gs, _zs, valid_gs = slice_corpus_for_striped_int8(
+        jnp.asarray(q_glob), jnp.zeros(n, jnp.float32), valid, 8192)
+    scan_g8 = jax.vmap(lambda q: dense_striped_topk_scan_int8_global(
+        emb_gs, valid_gs, q, pool, g_scale))
+
+    def step_scan_g8(q):
+        s, _ = scan_g8(q)
+        return q + s[:, :1] * 1e-6
+
+    ms = timed_chain(step_scan_g8, qv8)
+    rows.append(row(
+        f"dense fused score+pool scan int8-global (B={b}, N={n}, D={d})",
+        ms, flops=2 * b * n * d, bytes_moved=n * d * 1,
+        specs=specs, peak_key="int8_ops",
+        note="ONE corpus-wide scale: stripe carries compare raw int32 "
+             "accumulators, deleting the per-slice int32->f32 convert and "
+             "per-row scale multiply of the row-scaled variant "
+             "(ops/dense.py:dense_striped_topk_scan_int8_global; "
+             "examples/int8_scan_tuning.py for the full A/B)"))
+
     # ---- 3) exact dense pool (matmul + full-corpus top_k) --------------
     def step_exact(q):
         s, _ = dense_topk_batched(emb, q, valid, pool)
