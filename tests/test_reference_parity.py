@@ -558,6 +558,84 @@ def test_run_search_matches_reference(
     assert got_dbg["bm25_active"] is True and ref_dbg["bm25_active"] is True
 
 
+class _PandasProxy:
+    """pandas stand-in for the reference module: everything delegates to
+    the real pandas except read_parquet, which serves the local fixture
+    when the reference asks for its hf:// production URL
+    (app/app_product_search.py:325,339-340)."""
+
+    def __init__(self, fixture_path):
+        self._fixture = fixture_path
+
+    def read_parquet(self, path, columns=None, **kw):
+        if isinstance(path, str) and path.startswith("hf://"):
+            return pd.read_parquet(self._fixture, columns=columns)
+        return pd.read_parquet(path, columns=columns, **kw)
+
+    def __getattr__(self, name):
+        return getattr(pd, name)
+
+
+@pytest.fixture(scope="module")
+def snippet_wired_ref(wired_ref, shared_corpus, tmp_path_factory):
+    """Wire the REAL reference _best_snippets (hot loop #4, app:320-370):
+    point REV_EMB at a local reviews_with_embeddings fixture and swap the
+    module's pandas for a proxy that redirects its hf:// reads there."""
+    products, _emb, reviews, remb = shared_corpus
+    d = tmp_path_factory.mktemp("ref_snips")
+    p = d / "reviews_with_embeddings.parquet"
+    pd.DataFrame({
+        "sku": [r["sku"] for r in reviews],
+        "text": [r["text"] for r in reviews],
+        "stars": [float(r["stars"]) for r in reviews],
+        "embedding": [row.tolist() for row in np.asarray(remb)],
+    }).to_parquet(p)
+    wired_ref.REV_EMB = p  # Path -> .exists() True (app:286)
+    old_pd = wired_ref.pd
+    wired_ref.pd = _PandasProxy(p)
+    yield wired_ref
+    wired_ref.pd = old_pd
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("max_scan", [100, 10_000])
+def test_snippets_match_reference(snippet_wired_ref, our_engine, qvec_book,
+                                  max_scan):
+    """use_snips=True through BOTH engines: the reference's real
+    _best_snippets (groupby-argmax over truncated file-order rows) vs our
+    exact-host snippet mode (max_scan>0). max_scan=100 exercises the
+    truncation (the corpus has 256 review rows); 10_000 covers the
+    no-truncation case."""
+    from tests.test_engine_parity import QUERIES
+
+    query = QUERIES[0]
+    cfg = dict(k=20, rerank_k=0, w_dense=0.6, w_bm25=0.0, w_rerank=0.0,
+               w_prior=0.1, w_best=0.3, prior_C=20.0, min_reviews=1,
+               gate_penalty=0.5)
+    ref_df, ref_snips, _dbg = snippet_wired_ref.run_search(
+        query, use_snips=True, max_scan=max_scan, **cfg
+    )
+    got_df, got_snips, _d = our_engine.run_search(
+        query, qvec=qvec_book[query], use_snips=True, max_scan=max_scan,
+        **cfg
+    )
+    assert ref_snips, "reference snippet path did not run"
+    assert set(got_snips) == set(ref_snips)
+    for sku, s in ref_snips.items():
+        g = got_snips[sku]
+        assert g["score"] == pytest.approx(s["score"], rel=2e-4, abs=2e-5)
+        assert g["text"] == s["text"]
+        assert g["stars"] == pytest.approx(s["stars"], nan_ok=True)
+    np.testing.assert_allclose(
+        got_df["_best"].to_numpy(), ref_df["_best"].to_numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        got_df["_final"].to_numpy(), ref_df["_final"].to_numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
 @pytest.mark.integration
 def test_reference_weight_defaults_match(ref_app):
     """The reference config's default knob surface is our config's."""
