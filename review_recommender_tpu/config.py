@@ -191,6 +191,16 @@ class Config:
     # about pool / (2 * stripes) — e.g. ~0.9% at pool=150, stripes=8192;
     # corpora with n_padded <= stripes are exact.
     DENSE_POOL_STRIPES = _env_int("DENSE_POOL_STRIPES", "8192")
+    # DENSE_POOL_MODE=ivf (opt-in, never chosen by auto): sub-linear
+    # clustered pool (ops/ivf.py) — k-means blocks probed by centroid
+    # score. The single-query / small-batch latency play: HBM read per
+    # query is IVF_NPROBE * IVF_BLOCK_ROWS rows instead of the whole
+    # corpus. Scores of scanned rows stay exact; pool membership is
+    # probabilistic (the striped contract, but data-dependent).
+    # IVF_CENTROIDS=0 auto-sizes to ~4*sqrt(N).
+    IVF_NPROBE = _env_int("IVF_NPROBE", "64")
+    IVF_BLOCK_ROWS = _env_int("IVF_BLOCK_ROWS", "512")
+    IVF_CENTROIDS = _env_int("IVF_CENTROIDS", "0")
 
     @classmethod
     def resolve_pool_mode(cls, mode: str, n_padded: int) -> str:
@@ -262,13 +272,17 @@ class Config:
             raise ValueError(f"GATE_MODE must be 'device' or 'host', got {cls.GATE_MODE!r}")
         if cls.EMB_DTYPE not in ("bfloat16", "float32", "float16", "int8"):
             raise ValueError(f"Unsupported EMB_DTYPE: {cls.EMB_DTYPE!r}")
-        if cls.DENSE_POOL_MODE not in ("auto", "exact", "striped"):
+        if cls.DENSE_POOL_MODE not in ("auto", "exact", "striped", "ivf"):
             raise ValueError(
-                f"DENSE_POOL_MODE must be 'auto', 'exact' or 'striped', "
-                f"got {cls.DENSE_POOL_MODE!r}"
+                f"DENSE_POOL_MODE must be 'auto', 'exact', 'striped' or "
+                f"'ivf', got {cls.DENSE_POOL_MODE!r}"
             )
         if cls.DENSE_POOL_STRIPES <= 0:
             raise ValueError("DENSE_POOL_STRIPES must be positive")
+        if cls.IVF_NPROBE <= 0 or cls.IVF_BLOCK_ROWS <= 0:
+            raise ValueError("IVF_NPROBE and IVF_BLOCK_ROWS must be positive")
+        if cls.IVF_CENTROIDS < 0:
+            raise ValueError("IVF_CENTROIDS must be >= 0 (0 = auto)")
         if cls.DENSE_POOL_AUTO_MIN <= 0:
             raise ValueError("DENSE_POOL_AUTO_MIN must be positive")
         if cls.is_production():

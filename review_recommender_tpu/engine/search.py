@@ -140,9 +140,16 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         # that via a device OOM mid-placement is not a load-time contract
         from review_recommender_tpu.index.schema import enforce_hbm_fit
 
+        if self.dense_pool == "ivf" and self.int8_mode:
+            raise ValueError(
+                "DENSE_POOL_MODE=ivf needs a bf16/f32 corpus (the block "
+                "tensor is packed from `emb`); use EMB_DTYPE=bfloat16 or "
+                "the striped pool for int8 corpora"
+            )
         self.hbm_report = enforce_hbm_fit(
             bundle, self.dtype, quantize_int8=self.int8_mode,
-            striped=(self.dense_pool == "striped"), n_shards=1,
+            striped=(self.dense_pool == "striped"),
+            ivf=(self.dense_pool == "ivf"), n_shards=1,
         )
 
         self.arrays = self.products.device_arrays(
@@ -171,6 +178,24 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
              self.arrays["valid_s"]) = slice_corpus_for_striped_int8(
                 self.arrays["emb_q"], self.arrays["emb_scale"],
                 self.arrays["valid"], self.dense_stripes)
+        elif self.dense_pool == "ivf":
+            # one-time k-means + cluster-order packing (ops/ivf.py); the
+            # block tensor is the corpus re-gathered in cluster order, so
+            # like the striped slices it adds ~1 corpus of emb to HBM
+            from review_recommender_tpu.ops.ivf import (
+                build_ivf,
+                ivf_device_arrays,
+            )
+
+            self.ivf = build_ivf(
+                self.products.emb, self.products.valid,
+                n_centroids=config.IVF_CENTROIDS,
+                block_rows=config.IVF_BLOCK_ROWS,
+            )
+            self.ivf_nprobe = config.IVF_NPROBE
+            self.arrays.update(
+                ivf_device_arrays(self.ivf, self.products.emb, self.dtype)
+            )
         self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
         self.n_docs = self.products.n_docs
 
@@ -219,6 +244,15 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         products.skus with the returned ids (the sharded path clamps the
         same way, parallel/sharded.py)."""
         n_hi = self.products.n_padded - 1
+        if self.dense_pool == "ivf" and "ivf_blocks" in a:
+            from review_recommender_tpu.ops.ivf import ivf_topk
+
+            s, i = ivf_topk(
+                a["ivf_centroids"], a["ivf_blocks"], a["ivf_block_valid"],
+                a["ivf_block_rows"], a["ivf_block_centroid"], qvec,
+                pool, self.ivf_nprobe,
+            )
+            return s, jnp.minimum(i, n_hi)
         if "emb_q" in a:
             if self.dense_pool == "striped" and "emb_qs" in a:
                 from review_recommender_tpu.ops.dense import (

@@ -230,16 +230,22 @@ class IndexBundle:
 
 def footprint_total(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
                     quantize_int8: bool = False,
-                    striped: bool = False) -> tuple[Dict[str, int], int]:
+                    striped: bool = False,
+                    ivf: bool = False) -> tuple[Dict[str, int], int]:
     """(per-array footprint, total bytes) for a bundle under the given
     engine config — the ONE cost model shared by the load-time refusal
     (enforce_hbm_fit) and the audit report (serve/audit.py), so the two
     can never disagree. The striped pool keeps BOTH the flat emb and the
-    (s, G, D) slices, adding ~1 corpus of `emb`."""
+    (s, G, D) slices, adding ~1 corpus of `emb`; the IVF pool likewise
+    keeps the cluster-packed block tensor (~1 corpus + block padding,
+    bounded at 1.25x here — build logs report the true fill)."""
     fp = bundle.device_footprint(emb_dtype, quantize_int8)
     total = sum(fp.values())
+    emb_bytes = fp.get("emb", fp.get("emb_q", 0) + fp.get("emb_scale", 0))
     if striped:
-        total += fp.get("emb", fp.get("emb_q", 0) + fp.get("emb_scale", 0))
+        total += emb_bytes
+    if ivf:
+        total += int(1.25 * emb_bytes)
     return fp, total
 
 
@@ -259,7 +265,7 @@ def device_memory_limit() -> Optional[int]:
 
 def enforce_hbm_fit(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
                     quantize_int8: bool = False, striped: bool = False,
-                    n_shards: int = 1) -> Dict:
+                    ivf: bool = False, n_shards: int = 1) -> Dict:
     """Load-time HBM ownership for an engine about to place `bundle`:
     refuse (RuntimeError) when the corpus cannot fit the backend's
     per-device memory, warn above 80%. RRT_IGNORE_HBM_CHECK=true downgrades
@@ -269,7 +275,8 @@ def enforce_hbm_fit(bundle: "IndexBundle", emb_dtype=jnp.bfloat16,
     import os
 
     log = logging.getLogger(__name__)
-    fp, total = footprint_total(bundle, emb_dtype, quantize_int8, striped)
+    fp, total = footprint_total(bundle, emb_dtype, quantize_int8, striped,
+                                ivf)
     rep = check_hbm_fit(total, n_shards)
     gib = rep["per_device_bytes"] / 2**30
     if not rep["fits"]:

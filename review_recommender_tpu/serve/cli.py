@@ -729,12 +729,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-reviews", type=int, default=c.DEFAULT_MIN_REVIEWS)
     s.add_argument("--gate-penalty", type=float, default=c.DEFAULT_GATE_PENALTY)
     s.add_argument("--gate-mode", default=None, choices=[None, "host", "device"])
-    s.add_argument("--dense-pool", default=None, choices=[None, "auto", "exact", "striped"],
+    s.add_argument("--dense-pool", default=None, choices=[None, "auto", "exact", "striped", "ivf"],
                    help="striped: 2-stage stripe-max stage-A pool — ~1.5-1.8x "
                         "faster, ~0.99 pool recall, measured quality parity "
                         "(evals_out/striped). Default: DENSE_POOL_MODE env "
                         "(auto — striped from DENSE_POOL_AUTO_MIN padded "
-                        "rows up, exact below)")
+                        "rows up, exact below). ivf: sub-linear clustered "
+                        "pool (opt-in; IVF_NPROBE/IVF_BLOCK_ROWS env knobs)")
     s.add_argument("--snippets", action="store_true")
     s.add_argument("--json-out")
     s.set_defaults(fn=cmd_search)
@@ -745,7 +746,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--port", type=int, default=c.APP_PORT)
     v.add_argument("--gate-mode", default=None)
     v.add_argument("--dense-pool", default=None,
-                   choices=[None, "auto", "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped", "ivf"])
     v.add_argument("--with-rerank", action="store_true",
                    help="load the cross-encoder for rerank_k>0 requests")
     v.add_argument("--shards", type=int, default=None,
@@ -784,7 +785,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-queries", type=int, default=64)
     b.add_argument("--dense-pool", default=None,
-                   choices=[None, "auto", "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped", "ivf"])
     b.set_defaults(fn=cmd_bench)
 
     t = sub.add_parser(
@@ -831,7 +832,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write benchmark_results.json/CSV here")
     e.add_argument("--gate-mode", default=None)
     e.add_argument("--dense-pool", default=None,
-                   choices=[None, "auto", "exact", "striped"])
+                   choices=[None, "auto", "exact", "striped", "ivf"])
     e.add_argument("--no-warmup", action="store_true")
     e.set_defaults(fn=cmd_eval)
 
