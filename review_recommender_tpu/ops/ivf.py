@@ -189,6 +189,9 @@ def ivf_topk(
     cscores = jnp.dot(qvec.astype(centroids.dtype), centroids.T,
                       preferred_element_type=jnp.float32)  # (C,)
     bscores = jnp.take(cscores, block_centroid)  # (NB,)
+    # dead blocks (all slots padded — mesh shards pad to a common block
+    # count, parallel/sharded.py) must never win a probe slot
+    bscores = jnp.where(jnp.any(block_valid, axis=1), bscores, NEG_INF)
     _, bids = jax.lax.top_k(bscores, np_)  # (np,)
 
     sub = jnp.take(blocks, bids, axis=0)  # (np, Mb, D)

@@ -138,6 +138,11 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             )
             self._shard_stripes = config.DEFAULT_POOL_SIZE
 
+        if self.dense_pool == "ivf" and self.int8_mode:
+            raise ValueError(
+                "DENSE_POOL_MODE=ivf needs a bf16/f32 corpus (same "
+                "constraint as the single-chip engine)"
+            )
         # own the HBM budget BEFORE placing anything (row-sharded arrays
         # split evenly, so per-device load is total / n_shards)
         from review_recommender_tpu.index.schema import enforce_hbm_fit
@@ -145,6 +150,7 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         self.hbm_report = enforce_hbm_fit(
             bundle, dtype, quantize_int8=self.int8_mode,
             striped=(self.dense_pool == "striped"),
+            ivf=(self.dense_pool == "ivf"),
             n_shards=self.n_shards,
         )
 
@@ -220,6 +226,61 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
                                                         shard_s)
             self.arrays["valid_s"] = jax.device_put(_slice3(valid_h),
                                                     shard_s)
+        elif self.dense_pool == "ivf":
+            # per-shard IVF: each shard clusters ITS OWN contiguous local
+            # row block (ops/ivf.py), so block_row_ids stay LOCAL row
+            # indices and the owner-contributes assembly below is
+            # unchanged. The probe budget splits across shards the way
+            # the striped stripe count does; shards pad their block /
+            # centroid counts to a common max (dead blocks score -inf in
+            # ivf_topk and can never win a probe slot). Like the
+            # single-chip engine, the block tensor adds ~1 corpus of
+            # `emb` — split over the mesh.
+            from review_recommender_tpu.ops.ivf import build_ivf
+
+            emb_f = _pad_rows_to(
+                np.asarray(prod.emb, np.float32), n_pad)
+            valid_f = _pad_rows_to(
+                np.asarray(prod.valid, bool), n_pad)
+            ivfs = [
+                build_ivf(emb_f[s * per:(s + 1) * per],
+                          valid_f[s * per:(s + 1) * per],
+                          n_centroids=config.IVF_CENTROIDS,
+                          block_rows=config.IVF_BLOCK_ROWS)
+                for s in range(self.n_shards)
+            ]
+            c_max = max(len(iv.centroids) for iv in ivfs)
+            nb_max = max(iv.n_blocks for iv in ivfs)
+            mb = ivfs[0].block_rows
+            d = emb_f.shape[1]
+            S = self.n_shards
+            cents = np.zeros((S, c_max, d), np.float32)
+            rows_ = np.zeros((S, nb_max, mb), np.int32)
+            bval = np.zeros((S, nb_max, mb), bool)
+            bcent = np.zeros((S, nb_max), np.int32)
+            blocks = np.zeros((S, nb_max, mb, d), np.float32)
+            for s, iv in enumerate(ivfs):
+                cents[s, : len(iv.centroids)] = iv.centroids
+                rows_[s, : iv.n_blocks] = iv.block_row_ids
+                bval[s, : iv.n_blocks] = iv.block_valid
+                bcent[s, : iv.n_blocks] = iv.block_centroid
+                local = emb_f[s * per:(s + 1) * per]
+                blocks[s, : iv.n_blocks] = local[
+                    iv.block_row_ids.reshape(-1)
+                ].reshape(iv.n_blocks, mb, d)
+            put = lambda x, dt: jax.device_put(
+                jnp.asarray(x, dtype=dt), shard)
+            self.arrays["ivf_centroids"] = put(
+                cents.reshape(S * c_max, d), dtype)
+            self.arrays["ivf_blocks"] = put(
+                blocks.reshape(S * nb_max, mb, d), dtype)
+            self.arrays["ivf_block_valid"] = put(
+                bval.reshape(S * nb_max, mb), jnp.bool_)
+            self.arrays["ivf_block_rows"] = put(
+                rows_.reshape(S * nb_max, mb), jnp.int32)
+            self.arrays["ivf_block_centroid"] = put(
+                bcent.reshape(S * nb_max), jnp.int32)
+            self._ivf_nprobe_local = -(-config.IVF_NPROBE // S)
         self.avgdl = jnp.float32(prod.avgdl if prod.avgdl else 1.0)
 
         self.rev_arrays = None
@@ -316,7 +377,19 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
         offset = jax.lax.axis_index(ax) * local_n
 
         p_local = min(pool, local_n)
-        if "emb_s" in a:
+        if "ivf_blocks" in a:
+            # per-shard IVF probe (ops/ivf.py): local block_row_ids ARE
+            # local row indices, so owner locality is unchanged. Dead
+            # padded blocks score -inf inside ivf_topk.
+            from review_recommender_tpu.ops.ivf import ivf_topk
+
+            l_scores, l_idx = ivf_topk(
+                a["ivf_centroids"], a["ivf_blocks"], a["ivf_block_valid"],
+                a["ivf_block_rows"], a["ivf_block_centroid"], qvec,
+                p_local, self._ivf_nprobe_local,
+            )
+            l_idx = jnp.minimum(l_idx, local_n - 1)
+        elif "emb_s" in a:
             # fused score+pool scan over this shard's local (s_l, Gs, D)
             # slices — local idx r*Gs+g IS the local row index, so the
             # owner-locality contract below is unchanged. Padding rows

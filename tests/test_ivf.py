@@ -187,6 +187,84 @@ class TestEngine:
                          gate_mode="host", dense_pool="ivf")
 
 
+class TestSharded:
+    """Per-shard IVF on the 8-virtual-device mesh (parallel/sharded.py).
+
+    IVF is an approximate pool, so the usual 'sharding never changes
+    scores' contract applies in its full-probe limit: probing every
+    block makes each shard's pool exact, and the merged pool equals the
+    single-chip exact engine's.
+    """
+
+    def _bundle(self):
+        from tests.test_engine_parity import make_corpus
+        from review_recommender_tpu.index.build import (
+            build_bundle_from_products,
+        )
+
+        products, emb, reviews, remb = make_corpus(n=96, dim=64, seed=4)
+        return build_bundle_from_products(
+            products, emb, reviews=reviews, review_embeddings=remb,
+            pad_multiple=16, doc_terms_cap=64,
+        )
+
+    def test_mesh_full_probe_matches_single_exact(self, monkeypatch):
+        import jax
+
+        from review_recommender_tpu.engine.search import SearchEngine
+        from review_recommender_tpu.parallel.sharded import (
+            ShardedSearchEngine,
+        )
+
+        assert len(jax.devices()) == 8
+        monkeypatch.setattr(config, "IVF_NPROBE", 10_000)
+        monkeypatch.setattr(config, "IVF_BLOCK_ROWS", 8)
+        bundle = self._bundle()
+        mesh_ivf = ShardedSearchEngine(bundle, n_shards=8,
+                                       emb_dtype="float32",
+                                       dense_pool="ivf")
+        single = SearchEngine(bundle, emb_dtype="float32",
+                              gate_mode="device", dense_pool="exact")
+        rng = np.random.default_rng(9)
+        for query in ("yellow cat socks", "steel knife"):
+            qvec = rng.standard_normal(64).astype(np.float32)
+            qvec /= np.linalg.norm(qvec)
+            cfg = dict(k=10, rerank_k=0, w_dense=0.5, w_bm25=0.3,
+                       w_rerank=0.0, w_prior=0.2, w_best=0.0,
+                       prior_C=20.0, min_reviews=1, gate_penalty=0.3)
+            df_s, _, _ = single.run_search(query, qvec=qvec,
+                                           use_snips=False, **cfg)
+            df_m, _, _ = mesh_ivf.run_search(query, qvec=qvec,
+                                             use_snips=False, **cfg)
+            assert df_s["sku"].tolist() == df_m["sku"].tolist()
+            np.testing.assert_allclose(
+                df_m["_final"].to_numpy(), df_s["_final"].to_numpy(),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_mesh_low_probe_serves_sorted(self, monkeypatch):
+        import jax
+
+        from review_recommender_tpu.parallel.sharded import (
+            ShardedSearchEngine,
+        )
+
+        assert len(jax.devices()) == 8
+        monkeypatch.setattr(config, "IVF_NPROBE", 8)  # 1 block per shard
+        monkeypatch.setattr(config, "IVF_BLOCK_ROWS", 8)
+        eng = ShardedSearchEngine(self._bundle(), n_shards=8,
+                                  emb_dtype="float32", dense_pool="ivf")
+        qvec = np.random.default_rng(10).standard_normal(64)
+        qvec = (qvec / np.linalg.norm(qvec)).astype(np.float32)
+        df, _, _ = eng.run_search(
+            "socks", qvec=qvec, use_snips=False, k=5, rerank_k=0,
+            w_dense=1.0, w_bm25=0.0, w_rerank=0.0, w_prior=0.0,
+            w_best=0.0, prior_C=20.0, min_reviews=1, gate_penalty=0.0,
+        )
+        assert 1 <= len(df) <= 5
+        assert (np.diff(df["_final"].to_numpy()) <= 1e-9).all()
+
+
 def test_resolve_pool_mode_passthrough():
     assert config.resolve_pool_mode("ivf", 10) == "ivf"
     # auto never picks ivf
