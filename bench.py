@@ -974,6 +974,95 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             th.join()
         return n_conn * per_conn / (time.perf_counter() - t0)
 
+    @_guard("ivf pool", os.getenv("BENCH_IVF", "1") == "1", est_s=150)
+    def _():
+        import jax.numpy as jnp
+
+        # Sub-linear single-query stage A (ops/ivf.py): nprobe*block_rows
+        # rows read per query instead of all N. The headline bench corpus
+        # is isotropic noise — IVF's worst case — so this section builds a
+        # clustered corpus of the SAME shape (what real embedding corpora
+        # look like; examples/ivf_probe.py measures both geometries) and
+        # reports single-query latency + pool recall vs the exact scan.
+        from review_recommender_tpu.ops.dense import dense_topk
+        from review_recommender_tpu.ops.ivf import (
+            build_ivf, ivf_device_arrays, ivf_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        k_true = 256
+        centers = rng.standard_normal((k_true, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        cid = rng.integers(0, k_true, n_docs)
+        emb_f = centers[cid] + 0.25 * rng.standard_normal(
+            (n_docs, dim)).astype(np.float32)
+        emb_f /= np.linalg.norm(emb_f, axis=1, keepdims=True)
+        n_q_r = 16
+        qrows = rng.integers(0, n_docs, n_q_r)
+        qs = emb_f[qrows] + 0.3 * rng.standard_normal(
+            (n_q_r, dim)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+        emb_d = jnp.asarray(emb_f, jnp.bfloat16)
+        valid_d = jnp.ones((n_docs,), jnp.bool_)
+        qv_d = jnp.asarray(qs, jnp.float32)
+        fetch_q = lambda st: np.asarray(st[0]).ravel()[:2]
+
+        def step_exact(st):
+            q, e, v = st
+            s, _ = jax.vmap(lambda qq: dense_topk(e, qq, v, pool))(q)
+            return (q.at[:, 0].add(jnp.sum(s) * 1e-12), e, v)
+
+        ms_exact = _chain_ms(step_exact, (qv_d[:1], emb_d, valid_d),
+                             fetch=fetch_q, lo=10, hi=60)
+
+        t0 = time.monotonic()
+        ivf = build_ivf(emb_f, np.ones(n_docs, bool), kmeans_iters=6)
+        build_s = time.monotonic() - t0
+        a = ivf_device_arrays(ivf, emb_f, jnp.bfloat16)
+        dev = (a["ivf_centroids"], a["ivf_blocks"], a["ivf_block_valid"],
+               a["ivf_block_rows"], a["ivf_block_centroid"])
+        nprobe = int(os.getenv("BENCH_IVF_NPROBE", "64"))
+
+        def step_ivf(st):
+            q = st[0]
+            s, _ = jax.vmap(lambda qq: ivf_topk(*st[1:], qq, pool,
+                                                nprobe))(q)
+            return (q.at[:, 0].add(jnp.sum(s) * 1e-12),) + st[1:]
+
+        ms_ivf = _chain_ms(step_ivf, (qv_d[:1],) + dev, fetch=fetch_q,
+                           lo=10, hi=60)
+
+        ref_fn = jax.jit(lambda e, v, q: jax.vmap(
+            lambda qq: dense_topk(e, qq, v, pool))(q))
+        ivf_fn = jax.jit(lambda cen, blk, bv, br, bc, q: jax.vmap(
+            lambda qq: ivf_topk(cen, blk, bv, br, bc, qq, pool,
+                                nprobe))(q))
+        _, i_ref = ref_fn(emb_d, valid_d, qv_d)
+        _, i_ivf = ivf_fn(*dev, qv_d)
+        i_ref, i_ivf = np.asarray(i_ref), np.asarray(i_ivf)
+        recall = float(np.mean([
+            len(set(i_ref[i]) & set(i_ivf[i])) / pool
+            for i in range(n_q_r)
+        ]))
+        rows_read = nprobe * ivf.block_rows
+        emit({
+            "tail_metric": (f"ivf pool single-query (N={n_docs}, D={dim}, "
+                            f"pool={pool}, nprobe={nprobe}, clustered "
+                            "corpus, in-program chain)"),
+            "ivf_ms": round(ms_ivf, 3),
+            "exact_ms": round(ms_exact, 3),
+            "speedup_vs_exact": round(ms_exact / ms_ivf, 2)
+            if ms_ivf > 0 else None,
+            "pool_recall": round(recall, 4),
+            "rows_scanned": rows_read,
+            "traffic_vs_full_scan": round(rows_read / n_docs, 4),
+            "centroids": len(ivf.centroids), "blocks": ivf.n_blocks,
+            "block_rows": ivf.block_rows,
+            "fill_pct": round(100 * float(ivf.block_valid.mean()), 1),
+            "build_s": round(build_s, 1),
+        })
+
     @_guard("native HTTP serve",
             os.getenv("BENCH_SERVE_NATIVE", "1") == "1", est_s=120)
     def _():

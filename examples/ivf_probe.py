@@ -82,24 +82,35 @@ def main() -> int:
         valid = jnp.ones((n,), jnp.bool_)
         qv = jnp.asarray(qs, jnp.float32)
 
-        # --- reference lanes (single query, in-program chain) ---
-        def step_exact(q):
-            s, _ = jax.vmap(lambda qq: dense_topk(emb, qq, valid, pool))(q)
-            return q.at[:, 0].add(jnp.sum(s) * 1e-12)
+        # corpus-sized arrays ride the chain CARRY, never a closure — a
+        # closed-over constant is serialized into the axon remote-compile
+        # payload (HTTP 413 at this size; the engine/search.py contract)
+        fetch_q = lambda st: np.asarray(st[0]).ravel()[:2]
 
-        ms_exact = _chain_ms(step_exact, qv[:1], lo=10, hi=60)
+        def step_exact(st):
+            q, emb_, valid_ = st
+            s, _ = jax.vmap(lambda qq: dense_topk(emb_, qq, valid_,
+                                                  pool))(q)
+            return (q.at[:, 0].add(jnp.sum(s) * 1e-12), emb_, valid_)
+
+        ms_exact = _chain_ms(step_exact, (qv[:1], emb, valid),
+                             fetch=fetch_q, lo=10, hi=60)
 
         emb_s, valid_s = slice_corpus_for_striped(emb, valid, 8192)
 
-        def step_striped(q):
+        def step_striped(st):
+            q, es, vs = st
             s, _ = jax.vmap(lambda qq: dense_striped_topk_scan(
-                emb_s, valid_s, qq, pool))(q)
-            return q.at[:, 0].add(jnp.sum(s) * 1e-12)
+                es, vs, qq, pool))(q)
+            return (q.at[:, 0].add(jnp.sum(s) * 1e-12), es, vs)
 
-        ms_striped = _chain_ms(step_striped, qv[:1], lo=10, hi=60)
+        ms_striped = _chain_ms(step_striped, (qv[:1], emb_s, valid_s),
+                               fetch=fetch_q, lo=10, hi=60)
 
-        # exact pool as recall ground truth
-        _, idx_ref = jax.vmap(lambda qq: dense_topk(emb, qq, valid, pool))(qv)
+        # exact pool as recall ground truth (arrays as jit ARGS, same rule)
+        ref_fn = jax.jit(lambda e, v, q: jax.vmap(
+            lambda qq: dense_topk(e, qq, v, pool))(q))
+        _, idx_ref = ref_fn(emb, valid, qv)
         idx_ref = np.asarray(idx_ref)
 
         base = {
@@ -123,14 +134,18 @@ def main() -> int:
         }), flush=True)
 
         for nprobe in (16, 32, 64, 128):
-            def step_ivf(q, nprobe=nprobe):
+            def step_ivf(st, nprobe=nprobe):
+                q = st[0]
                 s, _ = jax.vmap(lambda qq: ivf_topk(
-                    *dev, qq, pool, nprobe))(q)
-                return q.at[:, 0].add(jnp.sum(s) * 1e-12)
+                    *st[1:], qq, pool, nprobe))(q)
+                return (q.at[:, 0].add(jnp.sum(s) * 1e-12),) + st[1:]
 
-            ms = _chain_ms(step_ivf, qv[:1], lo=10, hi=60)
-            _, idx_ivf = jax.vmap(
-                lambda qq: ivf_topk(*dev, qq, pool, nprobe))(qv)
+            ms = _chain_ms(step_ivf, (qv[:1],) + dev, fetch=fetch_q,
+                           lo=10, hi=60)
+            ivf_fn = jax.jit(lambda cen, blk, bv, br, bc, q: jax.vmap(
+                lambda qq: ivf_topk(cen, blk, bv, br, bc, qq, pool,
+                                    nprobe))(q))
+            _, idx_ivf = ivf_fn(*dev, qv)
             idx_ivf = np.asarray(idx_ivf)
             recall = float(np.mean([
                 len(set(idx_ref[i]) & set(idx_ivf[i])) / pool

@@ -197,9 +197,11 @@ class Config:
     # query is IVF_NPROBE * IVF_BLOCK_ROWS rows instead of the whole
     # corpus. Scores of scanned rows stay exact; pool membership is
     # probabilistic (the striped contract, but data-dependent).
-    # IVF_CENTROIDS=0 auto-sizes to ~4*sqrt(N).
+    # IVF_CENTROIDS=0 auto-sizes to ~4*sqrt(N); IVF_BLOCK_ROWS=0
+    # auto-sizes to the mean cluster size (ops/ivf.py:auto_block_rows —
+    # oversized blocks waste their HBM read on padding).
     IVF_NPROBE = _env_int("IVF_NPROBE", "64")
-    IVF_BLOCK_ROWS = _env_int("IVF_BLOCK_ROWS", "512")
+    IVF_BLOCK_ROWS = _env_int("IVF_BLOCK_ROWS", "0")
     IVF_CENTROIDS = _env_int("IVF_CENTROIDS", "0")
 
     @classmethod
@@ -279,10 +281,12 @@ class Config:
             )
         if cls.DENSE_POOL_STRIPES <= 0:
             raise ValueError("DENSE_POOL_STRIPES must be positive")
-        if cls.IVF_NPROBE <= 0 or cls.IVF_BLOCK_ROWS <= 0:
-            raise ValueError("IVF_NPROBE and IVF_BLOCK_ROWS must be positive")
-        if cls.IVF_CENTROIDS < 0:
-            raise ValueError("IVF_CENTROIDS must be >= 0 (0 = auto)")
+        if cls.IVF_NPROBE <= 0:
+            raise ValueError("IVF_NPROBE must be positive")
+        if cls.IVF_BLOCK_ROWS < 0 or cls.IVF_CENTROIDS < 0:
+            raise ValueError(
+                "IVF_BLOCK_ROWS and IVF_CENTROIDS must be >= 0 (0 = auto)"
+            )
         if cls.DENSE_POOL_AUTO_MIN <= 0:
             raise ValueError("DENSE_POOL_AUTO_MIN must be positive")
         if cls.is_production():

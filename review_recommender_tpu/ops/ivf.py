@@ -80,12 +80,21 @@ def auto_centroids(n_valid: int) -> int:
     return int(np.clip(4.0 * np.sqrt(max(n_valid, 1)), 16, 65536))
 
 
+def auto_block_rows(n_valid: int, n_centroids: int) -> int:
+    """Default block size: the power of two nearest the mean cluster size,
+    clamped to [64, 1024]. Measured at N=200k (auto centroids = 1788,
+    mean cluster ~112): block_rows=512 leaves blocks 22% full — 4.6x of
+    every probed block's HBM read is padding — while 128 packs ~80%+."""
+    avg = max(n_valid / max(n_centroids, 1), 1.0)
+    return int(np.clip(2 ** round(np.log2(avg)), 64, 1024))
+
+
 def build_ivf(
     emb: np.ndarray,
     valid: np.ndarray,
     *,
     n_centroids: int = 0,
-    block_rows: int = 512,
+    block_rows: int = 0,
     kmeans_iters: int = 10,
     seed: int = 0,
 ) -> IVFIndex:
@@ -95,12 +104,14 @@ def build_ivf(
     False) are never assigned to any block. Clustering reuses the
     mini-batched spherical k-means (topics/cluster.py:spherical_kmeans),
     so the build runs as MXU matmuls on whatever backend is live.
+    block_rows=0 (default) auto-sizes to the mean cluster size
+    (auto_block_rows).
     """
     emb = np.asarray(emb, dtype=np.float32)
     valid = np.asarray(valid, dtype=bool)
     rows = np.nonzero(valid)[0].astype(np.int32)
-    mb = max(int(block_rows), 1)
     if rows.size == 0:
+        mb = max(int(block_rows), 1) if block_rows else 64
         return IVFIndex(
             centroids=np.zeros((1, emb.shape[1]), np.float32),
             block_row_ids=np.zeros((1, mb), np.int32),
@@ -112,6 +123,8 @@ def build_ivf(
 
     k = int(n_centroids) if n_centroids else auto_centroids(rows.size)
     k = min(k, rows.size)
+    mb = (int(block_rows) if block_rows
+          else auto_block_rows(rows.size, k))
     ids, centers = spherical_kmeans(
         emb[rows], k=k, iters=kmeans_iters, seed=seed
     )
