@@ -994,12 +994,15 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
         centers = rng.standard_normal((k_true, dim)).astype(np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         cid = rng.integers(0, k_true, n_docs)
-        emb_f = centers[cid] + 0.25 * rng.standard_normal(
+        # noise norm RELATIVE to the unit center (within-cluster cosine
+        # ~0.82 — the band real embedding corpora sit in; see
+        # examples/ivf_probe.py:make_corpus for the calibration note)
+        emb_f = centers[cid] + (0.7 / np.sqrt(dim)) * rng.standard_normal(
             (n_docs, dim)).astype(np.float32)
         emb_f /= np.linalg.norm(emb_f, axis=1, keepdims=True)
         n_q_r = 16
         qrows = rng.integers(0, n_docs, n_q_r)
-        qs = emb_f[qrows] + 0.3 * rng.standard_normal(
+        qs = emb_f[qrows] + (0.5 / np.sqrt(dim)) * rng.standard_normal(
             (n_q_r, dim)).astype(np.float32)
         qs /= np.linalg.norm(qs, axis=1, keepdims=True)
 
@@ -1045,6 +1048,10 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             len(set(i_ref[i]) & set(i_ivf[i])) / pool
             for i in range(n_q_r)
         ]))
+        recall10 = float(np.mean([
+            len(set(i_ref[i][:10]) & set(i_ivf[i])) / 10
+            for i in range(n_q_r)
+        ]))
         rows_read = nprobe * ivf.block_rows
         emit({
             "tail_metric": (f"ivf pool single-query (N={n_docs}, D={dim}, "
@@ -1055,6 +1062,7 @@ def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
             "speedup_vs_exact": round(ms_exact / ms_ivf, 2)
             if ms_ivf > 0 else None,
             "pool_recall": round(recall, 4),
+            "recall_at_10": round(recall10, 4),
             "rows_scanned": rows_read,
             "traffic_vs_full_scan": round(rows_read / n_docs, 4),
             "centroids": len(ivf.centroids), "blocks": ivf.n_blocks,
