@@ -61,9 +61,9 @@ def main() -> int:
     flops = base.num_layers * (flops_proj + flops_attn)
 
     for heads in (12, 6, 3):
-        cfg = dataclasses.replace(base, num_heads=heads, attn_impl="xla")
+        cfg = dataclasses.replace(base, num_heads=heads)
         _, params = init_crossencoder(cfg, seed=0)
-        model = CrossEncoderModel(cfg, dtype=jnp.bfloat16)
+        model = CrossEncoderModel(cfg, dtype=jnp.bfloat16, attn_impl="xla")
 
         def step(x_ids, model=model, params=params):
             out = model.apply({"params": params}, x_ids, mask, tt)

@@ -326,7 +326,7 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
     ap.add_argument("--dense-pool", default="exact",
-                    choices=["exact", "striped"],
+                    choices=["exact", "striped", "ivf"],
                     help="striped = 2-stage stripe-max pool "
                          "(DENSE_POOL_MODE) — run both and diff the table "
                          "to see the quality cost of the ~0.99-recall pool")
