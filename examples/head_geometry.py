@@ -18,6 +18,20 @@ is the measured justification, and says whether hd=128 would be better
 still.
 
 Run on the chip: python examples/head_geometry.py
+
+MEASURED RESULT (round 5, v5e, B=64 S=512, 6L/384H cross-encoder,
+20-step in-program pair medians — evals_out/head_geometry.json):
+
+    heads=12 (hd= 32, HF geometry)  17.511 ms   24.7% of MXU bound
+    heads= 6 (hd= 64)               10.522 ms   41.0%
+    heads= 3 (hd=128)                7.408 ms   58.3%
+
+Head geometry IS the structural gap tower_speed.py pointed at: widening
+heads 32 -> 128 is 2.36x at identical parameter count. HF-converted
+towers keep hd=32 (checkpoint parity is the contract); from-scratch
+trained towers (rrt train) default to hd=64 — measured 1.66x over the
+HF geometry — with `--head-dim 128` available where serving speed
+outranks head diversity.
 """
 from __future__ import annotations
 
