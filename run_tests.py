@@ -50,6 +50,7 @@ def run_import_tests() -> int:
     import review_recommender_tpu.engine.search  # noqa: F401
     import review_recommender_tpu.evals  # noqa: F401
     import review_recommender_tpu.index.build  # noqa: F401
+    import review_recommender_tpu.ops.ivf  # noqa: F401
     import review_recommender_tpu.models  # noqa: F401
     import review_recommender_tpu.parallel.sharded  # noqa: F401
     import review_recommender_tpu.serve.cli  # noqa: F401
@@ -58,7 +59,7 @@ def run_import_tests() -> int:
     import review_recommender_tpu.topics.llm_clients  # noqa: F401
     import review_recommender_tpu.train  # noqa: F401
 
-    return 11
+    return 12
 
 
 def run_data_validation() -> int:
