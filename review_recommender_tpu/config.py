@@ -203,6 +203,13 @@ class Config:
     IVF_NPROBE = _env_int("IVF_NPROBE", "64")
     IVF_BLOCK_ROWS = _env_int("IVF_BLOCK_ROWS", "0")
     IVF_CENTROIDS = _env_int("IVF_CENTROIDS", "0")
+    # IVF recall is data-dependent (clustered corpora ~0.999, weakly
+    # clustered spaces measurably worse — evals_out/ivf/ notes). At init
+    # the engine samples corpus rows as queries, measures pool recall vs
+    # the exact scan (ops/ivf.py:measure_pool_recall) and WARNS below
+    # IVF_SELFCHECK_MIN. 0 queries disables the check.
+    IVF_SELFCHECK_QUERIES = _env_int("IVF_SELFCHECK_QUERIES", "16")
+    IVF_SELFCHECK_MIN = _env_float("IVF_SELFCHECK_MIN", "0.95")
 
     @classmethod
     def resolve_pool_mode(cls, mode: str, n_padded: int) -> str:

@@ -196,6 +196,35 @@ class SearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
             self.arrays.update(
                 ivf_device_arrays(self.ivf, self.products.emb, self.dtype)
             )
+            if config.IVF_SELFCHECK_QUERIES > 0:
+                from review_recommender_tpu.ops.ivf import (
+                    measure_pool_recall,
+                )
+
+                a = self.arrays
+                self.ivf_pool_recall = measure_pool_recall(
+                    a["emb"], a["valid"],
+                    (a["ivf_centroids"], a["ivf_blocks"],
+                     a["ivf_block_valid"], a["ivf_block_rows"],
+                     a["ivf_block_centroid"]),
+                    pool=min(config.DEFAULT_POOL_SIZE,
+                             self.products.n_padded),
+                    nprobe=self.ivf_nprobe,
+                    n_queries=config.IVF_SELFCHECK_QUERIES,
+                )
+                if self.ivf_pool_recall < config.IVF_SELFCHECK_MIN:
+                    logger.warning(
+                        "IVF pool recall self-check: %.3f < %.2f on this "
+                        "corpus (recall is data-dependent; this embedding "
+                        "space may be weakly clustered). Raise IVF_NPROBE "
+                        "(now %d) or use the exact/striped pool.",
+                        self.ivf_pool_recall, config.IVF_SELFCHECK_MIN,
+                        self.ivf_nprobe,
+                    )
+                else:
+                    logger.info("IVF pool recall self-check: %.3f "
+                                "(nprobe=%d)", self.ivf_pool_recall,
+                                self.ivf_nprobe)
         self.avgdl = jnp.float32(self.products.avgdl if self.products.avgdl else 1.0)
         self.n_docs = self.products.n_docs
 

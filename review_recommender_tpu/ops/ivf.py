@@ -181,6 +181,51 @@ def ivf_device_arrays(ivf: IVFIndex, emb, emb_dtype=jnp.bfloat16) -> dict:
     }
 
 
+def measure_pool_recall(
+    emb: jax.Array,  # (N_pad, D) engine corpus matrix
+    valid: jax.Array,  # (N_pad,) bool
+    dev: tuple,  # ivf_device_arrays values in ivf_topk argument order
+    pool: int,
+    nprobe: int,
+    n_queries: int = 16,
+    seed: int = 0,
+) -> float:
+    """Fraction of the exact top-`pool` the IVF probe recovers, sampled
+    with corpus rows as queries — the 'own your approximation' check.
+
+    IVF recall is DATA-DEPENDENT: the synthetic clustered probe measures
+    ~0.999 (evals_out/ivf_probe.json) but a weakly-clustered embedding
+    space (e.g. from-scratch trained towers on the quality corpus) lost
+    enough pool recall at the default budget to move END metrics
+    (evals_out/ivf/ vs evals_out/readme_table.md, round 5). The engine
+    therefore runs this at init when DENSE_POOL_MODE=ivf and warns below
+    IVF_SELFCHECK_MIN — raise IVF_NPROBE (or drop ivf) when it fires.
+    """
+    import numpy as np
+
+    from review_recommender_tpu.ops.dense import dense_topk
+
+    valid_np = np.asarray(valid)
+    rows = np.nonzero(valid_np)[0]
+    if rows.size == 0:
+        return 1.0
+    rng = np.random.default_rng(seed)
+    sel = rows[rng.integers(0, rows.size, min(n_queries, rows.size))]
+    qv = jnp.asarray(np.asarray(emb)[sel], jnp.float32)
+
+    ref_fn = jax.jit(lambda e, v, q: jax.vmap(
+        lambda qq: dense_topk(e, qq, v, pool))(q))
+    ivf_fn = jax.jit(lambda cen, blk, bv, br, bc, q: jax.vmap(
+        lambda qq: ivf_topk(cen, blk, bv, br, bc, qq, pool, nprobe))(q))
+    _, i_ref = ref_fn(emb, valid, qv)
+    _, i_ivf = ivf_fn(*dev, qv)
+    i_ref, i_ivf = np.asarray(i_ref), np.asarray(i_ivf)
+    return float(np.mean([
+        len(set(i_ref[i]) & set(i_ivf[i])) / max(i_ref.shape[1], 1)
+        for i in range(len(sel))
+    ]))
+
+
 def ivf_topk(
     centroids: jax.Array,  # (C, D)
     blocks: jax.Array,  # (NB, Mb, D)

@@ -203,6 +203,60 @@ class TestEngine:
                          gate_mode="host", dense_pool="ivf")
 
 
+class TestSelfCheck:
+    def test_measure_pool_recall_geometry_dependence(self):
+        from review_recommender_tpu.ops.ivf import measure_pool_recall
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        iso = rng.standard_normal((512, 32)).astype(np.float32)
+        iso /= np.linalg.norm(iso, axis=1, keepdims=True)
+        clu, _ = clustered_emb(n=512, dim=32, k=8, noise=0.15, seed=1)
+        valid = jnp.ones(512, bool)
+        out = {}
+        for name, emb in (("iso", iso), ("clu", clu)):
+            ivf = build_ivf(emb, np.ones(512, bool), n_centroids=8,
+                            block_rows=64)
+            a = ivf_device_arrays(ivf, emb, jnp.float32)
+            dev = (a["ivf_centroids"], a["ivf_blocks"],
+                   a["ivf_block_valid"], a["ivf_block_rows"],
+                   a["ivf_block_centroid"])
+            out[name] = measure_pool_recall(
+                jnp.asarray(emb), valid, dev, pool=20, nprobe=2,
+                n_queries=16)
+        # clustered geometry recalls (queries ARE corpus rows, so the
+        # probed cluster holds the neighbors); isotropic must be worse
+        assert out["clu"] > 0.9, out
+        assert out["iso"] < out["clu"], out
+
+    def test_engine_selfcheck_warns_on_low_recall(self, monkeypatch,
+                                                  caplog):
+        import logging
+
+        from review_recommender_tpu.engine.search import SearchEngine
+
+        monkeypatch.setattr(config, "IVF_NPROBE", 1)
+        monkeypatch.setattr(config, "IVF_BLOCK_ROWS", 8)
+        bundle = TestEngine()._bundle()
+        with caplog.at_level(logging.WARNING,
+                             logger="review_recommender_tpu.engine.search"):
+            eng = SearchEngine(bundle, emb_dtype="float32",
+                               gate_mode="host", dense_pool="ivf")
+        assert hasattr(eng, "ivf_pool_recall")
+        if eng.ivf_pool_recall < config.IVF_SELFCHECK_MIN:
+            assert any("self-check" in r.message for r in caplog.records)
+
+    def test_engine_selfcheck_disabled(self, monkeypatch):
+        from review_recommender_tpu.engine.search import SearchEngine
+
+        monkeypatch.setattr(config, "IVF_SELFCHECK_QUERIES", 0)
+        monkeypatch.setattr(config, "IVF_NPROBE", 4)
+        eng = SearchEngine(TestEngine()._bundle(), emb_dtype="float32",
+                           gate_mode="host", dense_pool="ivf")
+        assert not hasattr(eng, "ivf_pool_recall")
+
+
 class TestSharded:
     """Per-shard IVF on the 8-virtual-device mesh (parallel/sharded.py).
 
