@@ -626,7 +626,7 @@ def main():
                 emit({"tail_metric": name,
                       "error": (f"section timeout: abandoned after "
                                 f"{cap:.0f}s (est {est_s:.0f}s)")})
-                if "value" not in _device_ok(20.0):
+                if "value" not in _device_ok(45.0):
                     _wedged[0] = True
                     emit({"tail_metric": "device probe",
                           "error": ("no response after section timeout; "
@@ -645,6 +645,14 @@ def main():
                    w, pool, k, n_q, n_docs, dim, vocab_size, batch, big_batch)
     finally:
         _print_headline()
+        # hard-exit AFTER the final line: an abandoned (timed-out) section
+        # thread can be blocked inside a C++ tunnel RPC, and normal
+        # interpreter teardown of such a thread aborts the process
+        # ("terminate called ... FATAL: exception not rethrown" — observed
+        # rc=134 AFTER a fully successful final line in round 5). All
+        # output is flushed per-line (emit), so nothing is lost.
+        sys.stdout.flush()
+        os._exit(0)
 
 
 def _run_tails(_guard, _retry, engine, pidx, qvecs, qterm_ids, qstrings,
