@@ -326,7 +326,6 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gate-mode", default="host", choices=["host", "device"])
     ap.add_argument("--dense-pool", default="exact",
-                    choices=["exact", "striped", "ivf"],
                     help="striped = 2-stage stripe-max pool "
                          "(DENSE_POOL_MODE) — run both and diff the table "
                          "to see the quality cost of the ~0.99-recall pool")
@@ -383,22 +382,38 @@ def main(argv=None) -> int:
         idf_map = {t: float(bundle.products.idf[i])
                    for t, i in bundle.products.vocab.items()}
         cross = OverlapCrossScorer(idf=idf_map)
-    engine = SearchEngine(
-        bundle, query_encoder=encoder,
-        cross_encoder=cross,
-        gate_mode=args.gate_mode, dense_pool=args.dense_pool,
-    )
-
-    def search(q, **cfg):
-        df, _s, _d = engine.run_search(q, **cfg)
-        return df
-
+    # comma-separated pool modes share ONE trained-tower/corpus build, so
+    # a multi-mode run is a SAME-TOWERS A/B: any metric delta is the pool,
+    # not per-run training variance (seed_robustness.md measured ~0.03
+    # nDCG across seeds — the same order as pool effects).
     from review_recommender_tpu.evals.benchmark import measure_rpc_floor
 
-    results = run_performance_benchmark(search, queries, warmup=True,
-                                        rpc_floor_ms=measure_rpc_floor())
-    save_benchmark_results(results, args.out)
-    print(format_results_table(results))
+    pools = args.dense_pool.split(",")
+    for pool_spec in pools:
+        # "ivf:128" = ivf with IVF_NPROBE=128 for this lane
+        pool_mode, _, nprobe = pool_spec.partition(":")
+        if nprobe:
+            from review_recommender_tpu.config import config as _cfg
+
+            _cfg.IVF_NPROBE = int(nprobe)
+        engine = SearchEngine(
+            bundle, query_encoder=encoder,
+            cross_encoder=cross,
+            gate_mode=args.gate_mode, dense_pool=pool_mode,
+        )
+
+        def search(q, **cfg):
+            df, _s, _d = engine.run_search(q, **cfg)
+            return df
+
+        results = run_performance_benchmark(search, queries, warmup=True,
+                                            rpc_floor_ms=measure_rpc_floor())
+        out = (args.out if len(pools) == 1
+               else f"{args.out.rstrip('/')}_{pool_spec.replace(':', '')}")
+        save_benchmark_results(results, out)
+        if len(pools) > 1:
+            print(f"--- dense_pool={pool_spec} ---")
+        print(format_results_table(results))
     return 0
 
 
