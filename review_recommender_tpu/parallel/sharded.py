@@ -268,8 +268,11 @@ class ShardedSearchEngine(HostSnippetsMixin, RerankCoalesceMixin,
                 blocks[s, : iv.n_blocks] = local[
                     iv.block_row_ids.reshape(-1)
                 ].reshape(iv.n_blocks, mb, d)
+            # device_put the host array FIRST (row-sharded), then cast on
+            # the mesh: jnp.asarray would stage the full corpus-sized
+            # tensor on one device before resharding
             put = lambda x, dt: jax.device_put(
-                jnp.asarray(x, dtype=dt), shard)
+                np.asarray(x), shard).astype(dt)
             self.arrays["ivf_centroids"] = put(
                 cents.reshape(S * c_max, d), dtype)
             self.arrays["ivf_blocks"] = put(
